@@ -1,0 +1,99 @@
+"""Device mesh + sharding: the TPU-native replacement for the reference's DDP.
+
+The reference's single parallelism strategy is data-parallel DDP selected by
+``configure_strategy()`` (reference: utils/lightning_utils.py:23-56) with
+NCCL all-reduce hidden inside PyTorch-Lightning. On TPU we instead:
+
+- build a 1-D ``jax.sharding.Mesh`` over all devices (axis ``"data"``),
+- shard the batch over that axis with ``NamedSharding``,
+- replicate parameters,
+- and let XLA insert the ICI collectives (psum of gradients falls out of
+  jit-compiling the global-batch loss; no hand-written comm layer).
+
+Multi-host: call :func:`initialize_distributed` once per process before any
+JAX call; each host then feeds its local shard via
+``jax.make_array_from_process_local_data``.
+
+Metric semantics match the reference's ``sync_dist=True`` logging (mean over
+the global batch) automatically, because losses are means over the *global*
+(sharded) batch inside one jitted program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def initialize_distributed(**kwargs: Any) -> None:
+    """Multi-host init over DCN (no-op on a single process)."""
+    if jax.process_count() > 1 or kwargs:
+        jax.distributed.initialize(**kwargs)
+
+
+def create_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Sequence[str] = (DATA_AXIS,),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Create a device mesh. Default: 1-D data-parallel mesh over all devices.
+
+    ``shape`` allows multi-axis meshes (e.g. ``(4, 2)`` with
+    ``axis_names=("data", "model")``) for models that want parameter sharding
+    on top of data parallelism.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    dev_array = np.array(devices).reshape(tuple(shape))
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Sharding that splits the leading (batch) dim over the data axis."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a (possibly nested) host batch on device, sharded on the batch dim.
+
+    Replaces the reference's per-process batch division
+    (data/datamodule.py:33): here the *global* batch array is laid out across
+    the mesh's data axis, so per-device batch = global / n_devices without any
+    manual bookkeeping.
+    """
+
+    def _place(x: Any) -> jax.Array:
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, replicated_sharding(mesh))
+        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+    return jax.tree_util.tree_map(_place, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (params / optimizer state) across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def local_batch_size(global_batch_size: int, mesh: Optional[Mesh] = None) -> int:
+    """Per-device batch size for a global batch on this mesh."""
+    n = int(np.prod(mesh.devices.shape)) if mesh is not None else jax.device_count()
+    if global_batch_size % n != 0:
+        raise ValueError(
+            f"global batch size {global_batch_size} not divisible by "
+            f"{n} devices"
+        )
+    return global_batch_size // n

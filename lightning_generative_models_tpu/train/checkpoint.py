@@ -1,0 +1,96 @@
+"""Checkpointing: atomic orbax save/restore with save-last + best-by-monitor.
+
+Reference behavior being replaced: Lightning ``ModelCheckpoint(dirpath,
+save_last=True, monitor="val_loss")`` (reference train.py:113-117) which
+serialized module/optimizer/loop state. Here the entire
+:class:`TrainState` pytree (params, every optimizer state, EMA weights,
+mutable collections, step counter) plus the data-epoch counter round-trips
+through orbax — checkpoint writes are atomic (tmp dir + rename inside orbax),
+so preemption mid-write never corrupts the latest checkpoint.
+
+A ``best`` checkpoint tracks the model's ``monitor`` key. Unlike the
+reference, the monitored key always exists because each model declares its own
+(fixes SURVEY §2.8(3): monitoring "val_loss" for GANs that never log it).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
+
+
+class CheckpointManager:
+    def __init__(self, directory: str | Path, monitor: str = "val_loss"):
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.best_value = np.inf
+        self._checkpointer = ocp.StandardCheckpointer()
+        meta = self._meta_path()
+        if meta.exists():
+            with open(meta) as f:
+                self.best_value = json.load(f).get("best_value", np.inf)
+
+    def _meta_path(self) -> Path:
+        return self.directory / "checkpoint_meta.json"
+
+    def _write_meta(self, step: int, epoch: int) -> None:
+        with open(self._meta_path(), "w") as f:
+            json.dump(
+                {
+                    "last_step": int(step),
+                    "last_epoch": int(epoch),
+                    "monitor": self.monitor,
+                    "best_value": float(self.best_value),
+                },
+                f,
+            )
+
+    def save_last(self, state: Any, step: int, epoch: int) -> None:
+        path = self.directory / "last"
+        self._checkpointer.save(path, state, force=True)
+        self._checkpointer.wait_until_finished()
+        self._write_meta(step, epoch)
+
+    def maybe_save_best(
+        self, state: Any, step: int, epoch: int, metrics: dict
+    ) -> bool:
+        value = metrics.get(self.monitor)
+        if value is None:
+            return False
+        value = float(np.asarray(value))
+        if value < self.best_value:
+            self.best_value = value
+            self._checkpointer.save(self.directory / "best", state, force=True)
+            self._checkpointer.wait_until_finished()
+            self._write_meta(step, epoch)
+            logger.info("New best %s=%.6f at step %d", self.monitor, value, step)
+            return True
+        return False
+
+    def restore(
+        self, template_state: Any, which: str = "last"
+    ) -> Tuple[Any, int, int]:
+        """Restore state shaped like ``template_state``; returns (state, step, epoch)."""
+        path = self.directory / which
+        if not path.exists():
+            raise FileNotFoundError(f"No checkpoint at {path}")
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template_state)
+        state = self._checkpointer.restore(path, abstract)
+        step, epoch = 0, 0
+        if self._meta_path().exists():
+            with open(self._meta_path()) as f:
+                meta = json.load(f)
+            step, epoch = meta.get("last_step", 0), meta.get("last_epoch", 0)
+        return state, step, epoch
+
+    def has_checkpoint(self, which: str = "last") -> bool:
+        return (self.directory / which).exists()

@@ -1,0 +1,86 @@
+"""Training state: a functional, multi-optimizer replacement for Lightning.
+
+The reference relies on ``pl.LightningModule`` to own parameters, (multiple)
+optimizers, EMA copies and step counters, updated by side effect
+(reference: models/generative/gan/gan.py:118,151-165 manual optimization;
+models/generative/diffusion/ddpm.py:998 EMA). On TPU all of that becomes one
+immutable pytree threaded through pure jitted step functions, so the entire
+optimization step — including alternating GAN updates — compiles to a single
+XLA program.
+
+``params`` / ``mutable`` / ``opt_state`` are dicts keyed by *parameter group*
+(e.g. ``{"G": ..., "D": ...}``), which is how the reference's multiple
+optimizers are expressed functionally.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    """Immutable training state threaded through jitted steps."""
+
+    step: jax.Array
+    params: Dict[str, Any]
+    mutable: Dict[str, Any]  # per-group mutable collections (batch_stats, ema codebook)
+    opt_state: Dict[str, Any]
+    ema_params: Optional[Any] = None  # EMA weights (diffusion); None otherwise
+
+    def apply_updates(self, group: str, updates: Any) -> "TrainState":
+        new_params = dict(self.params)
+        new_params[group] = optax.apply_updates(self.params[group], updates)
+        return self.replace(params=new_params)
+
+
+def make_adam(
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Adam with torch semantics: L2 weight decay added to the gradient
+    *before* the moment update (torch.optim.Adam, not AdamW) — matches the
+    reference's optimizer settings (e.g. gan.py configure_optimizers).
+    """
+    steps = []
+    if weight_decay:
+        steps.append(optax.add_decayed_weights(weight_decay))
+    steps += [optax.scale_by_adam(b1=b1, b2=b2), optax.scale(-lr)]
+    return optax.chain(*steps)
+
+
+def make_rmsprop(lr: float) -> optax.GradientTransformation:
+    """RMSprop matching torch defaults (alpha=0.99, eps=1e-8) — used by the
+    reference's WGAN weight-clipping variant (wgan.py:170-181)."""
+    return optax.rmsprop(learning_rate=lr, decay=0.99, eps=1e-8)
+
+
+def init_multi_opt(
+    optimizers: Dict[str, optax.GradientTransformation],
+    params: Dict[str, Any],
+) -> Dict[str, Any]:
+    return {k: optimizers[k].init(params[k]) for k in optimizers}
+
+
+def ema_update(ema_params: Any, new_params: Any, decay: float) -> Any:
+    """ema <- decay * ema + (1 - decay) * new."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params,
+        new_params,
+    )
+
+
+def global_norm(tree: Any) -> jax.Array:
+    return optax.global_norm(tree)
+
+
+def count_params(tree: Any) -> int:
+    return sum(int(jnp.size(x)) for x in jax.tree_util.tree_leaves(tree))

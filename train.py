@@ -1,0 +1,131 @@
+"""CLI training entry — reference-parity surface (reference: train.py:28-66).
+
+Usage (same as the reference; --config works via argparse prefix matching):
+
+    python train.py --config_path configs/vae/vae.json --experiment_name demo
+
+TPU specifics: the trainer builds a data-parallel mesh over all visible
+devices automatically (the reference's --strategy autodetect,
+utils/lightning_utils.py:23-56, is replaced by the mesh); --precision selects
+the compute dtype policy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+from datetime import datetime
+from pathlib import Path
+from pprint import pprint
+
+from lightning_generative_models_tpu.config import load_config
+from lightning_generative_models_tpu.data.datamodule import DataModule
+from lightning_generative_models_tpu.experiment.logger import ExperimentLogger
+from lightning_generative_models_tpu.registry import load_model
+from lightning_generative_models_tpu.train.trainer import Trainer
+from lightning_generative_models_tpu.utils.path import EXPERIMENT_DIR
+
+logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+logging.getLogger("absl").setLevel(logging.WARNING)  # orbax is very chatty
+
+EXPERIMENT_TIME = datetime.now().strftime("%Y-%m-%d_%H:%M")
+
+
+def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
+    parser = argparse.ArgumentParser("Train script")
+
+    # Training configurations
+    parser.add_argument("--config_path", type=str, required=True, help="Path to configs")
+
+    # Trainer configurations (reference train.py:33-41)
+    parser.add_argument("--num_workers", type=int, default=0)
+    parser.add_argument("--check_val_every_n_epoch", type=int, default=5)
+    parser.add_argument("--max_epochs", type=int, default=-1)
+    parser.add_argument("--max_steps", type=int, default=-1)
+    parser.add_argument("--strategy", type=str, default="data_parallel")
+    parser.add_argument("--accumulate_grad_batches", type=int, default=1)
+    parser.add_argument("--precision", type=str, default=None)
+    parser.add_argument("--ckpt_path", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=10)
+    parser.add_argument(
+        "--profile_steps",
+        type=str,
+        default=None,
+        help="start:stop step range to capture a jax.profiler trace",
+    )
+
+    # Logging configurations (reference train.py:44-66)
+    parser.add_argument(
+        "--project", type=str, default="Lightning generative models",
+        help="Experiment tracking project name.",
+    )
+    parser.add_argument(
+        "--experiment_name", type=str, default=EXPERIMENT_TIME,
+        help="Experiment name.",
+    )
+    parser.add_argument("--resume", action="store_true", help="Resume the run.")
+    parser.add_argument("--id", type=str, default=None, help="Run ID to resume from.")
+    parser.add_argument(
+        "--wandb", action="store_true", help="Mirror logs to W&B if available."
+    )
+
+    args = parser.parse_args(argv)
+    args.config = load_config(args.config_path)
+
+    args.experiment_dir = os.path.join(
+        EXPERIMENT_DIR, args.config["model"]["name"], args.experiment_name
+    )
+    os.makedirs(args.experiment_dir, exist_ok=True)
+
+    if print_args:
+        pprint(vars(args))
+    if save_args:
+        dump = {k: v for k, v in vars(args).items() if k != "config"}
+        with open(os.path.join(args.experiment_dir, "args.json"), "w") as f:
+            json.dump(dump, f, indent=2, default=str)
+        config_name = Path(args.config_path).name
+        with open(os.path.join(args.experiment_dir, config_name), "w") as f:
+            json.dump(args.config, f, indent=2)
+    return args
+
+
+def main(argv=None):
+    args = setup_arguments(argv)
+
+    model = load_model(args.config["model"])
+    datamodule = DataModule(**args.config["dataset"], num_workers=args.num_workers)
+    exp_logger = ExperimentLogger(
+        args.experiment_dir,
+        project=args.project,
+        name=args.experiment_name,
+        config={**args.config["model"], "dataset": args.config["dataset"]},
+        use_wandb=args.wandb,
+        resume=args.resume,
+        run_id=args.id,
+    )
+    profile_steps = None
+    if args.profile_steps:
+        start, stop = args.profile_steps.split(":")
+        profile_steps = (int(start), int(stop))
+
+    trainer = Trainer(
+        model=model,
+        datamodule=datamodule,
+        experiment_dir=args.experiment_dir,
+        exp_logger=exp_logger,
+        max_epochs=args.max_epochs,
+        max_steps=args.max_steps,
+        check_val_every_n_epoch=args.check_val_every_n_epoch,
+        accumulate_grad_batches=args.accumulate_grad_batches,
+        seed=args.seed,
+        profile_steps=profile_steps,
+    )
+    state = trainer.fit(ckpt_path=args.ckpt_path, resume=args.resume)
+    exp_logger.finish()
+    return state
+
+
+if __name__ == "__main__":
+    main()
