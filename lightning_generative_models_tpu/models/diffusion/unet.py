@@ -1,0 +1,224 @@
+"""Diffusion UNet (NHWC, TPU-first).
+
+Capability parity with the reference UNet (reference:
+models/generative/diffusion/ddpm.py:93-471): 7x7 init conv; per-resolution
+[2 x FiLM ResnetBlock + attention + downsample]; mid block/attn/block;
+symmetric up path with skip concatenations; final residual block over the
+concatenated init features; time conditioning through sinusoidal (or
+random/learned Fourier) embeddings -> MLP -> per-block scale/shift; linear
+attention at outer resolutions, full attention innermost; space-to-depth
+downsample (ddpm.py:100-104) and nearest-neighbor-x2 + conv upsample
+(ddpm.py:93-97).
+
+TPU design:
+- NHWC layout: channels-last is the native TPU conv layout (lane dimension),
+  so every conv lands on the MXU without layout transposes.
+- space-to-depth / depth-to-space are pure reshapes in NHWC — zero-copy in
+  XLA, vs. the reference's einops rearrange of a strided NCHW view.
+- ``dtype`` selects the compute precision (bf16 by default on TPU callers);
+  params and normalization statistics stay f32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lightning_generative_models_tpu.models.modules.attention import (
+    Attention,
+    LinearAttention,
+)
+from lightning_generative_models_tpu.models.modules.time_embedding import (
+    RandomOrLearnedSinusoidalPosEmb,
+    SinusoidalPosEmb,
+)
+
+
+class Block(nn.Module):
+    """conv 3x3 -> GroupNorm -> (FiLM scale/shift) -> SiLU (ddpm.py:157-173)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale_shift=None):
+        x = nn.Conv(self.dim_out, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=self.groups, dtype=jnp.float32)(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale[:, None, None, :] + 1) + shift[:, None, None, :]
+        return nn.silu(x).astype(self.dtype)
+
+
+class ResnetBlock(nn.Module):
+    """Two blocks + FiLM time conditioning + skip (ddpm.py:176-200)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_emb=None):
+        scale_shift = None
+        if time_emb is not None:
+            t = nn.silu(time_emb)
+            t = nn.Dense(self.dim_out * 2, dtype=jnp.float32)(t)
+            scale_shift = jnp.split(t, 2, axis=-1)
+        h = Block(self.dim_out, self.groups, self.dtype)(x, scale_shift)
+        h = Block(self.dim_out, self.groups, self.dtype)(h)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
+        return h + x
+
+
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """[B,H,W,C] -> [B,H/2,W/2,4C] — a pure reshape/transpose in NHWC."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+class Downsample(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(space_to_depth(x))
+
+
+class Upsample(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.dim_out, (3, 3), padding="SAME", dtype=self.dtype)(x)
+
+
+def _cast_tuple(value, length: int) -> Tuple:
+    if isinstance(value, (tuple, list)):
+        assert len(value) == length
+        return tuple(value)
+    return (value,) * length
+
+
+class UNet(nn.Module):
+    dim: int
+    init_dim: Optional[int] = None
+    out_dim: Optional[int] = None
+    dim_mults: Sequence[int] = (1, 2, 4, 8)
+    channels: int = 3
+    self_condition: bool = False
+    resnet_block_groups: int = 8
+    learned_variance: bool = False
+    learned_sinusoidal_cond: bool = False
+    random_fourier_features: bool = False
+    learned_sinusoidal_dim: int = 16
+    sinusoidal_pos_emb_theta: float = 10000.0
+    attn_dim_head: Union[int, Sequence[int]] = 32
+    attn_heads: Union[int, Sequence[int]] = 4
+    full_attn: Optional[Sequence[bool]] = None  # default: innermost only
+    flash_attn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def downsample_factor(self) -> int:
+        return 2 ** (len(self.dim_mults) - 1)
+
+    @property
+    def output_channels(self) -> int:
+        if self.out_dim is not None:
+            return self.out_dim
+        return self.channels * (2 if self.learned_variance else 1)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        time: jax.Array,
+        x_self_cond: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        num_stages = len(self.dim_mults)
+        full_attn = self.full_attn or ((False,) * (num_stages - 1) + (True,))
+        full_attn = _cast_tuple(full_attn, num_stages)
+        heads = _cast_tuple(self.attn_heads, num_stages)
+        dim_heads = _cast_tuple(self.attn_dim_head, num_stages)
+
+        init_dim = self.init_dim or self.dim
+        dims = [init_dim] + [self.dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+
+        if self.self_condition:
+            if x_self_cond is None:
+                x_self_cond = jnp.zeros_like(x)
+            x = jnp.concatenate([x_self_cond, x], axis=-1)
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(init_dim, (7, 7), padding="SAME", dtype=self.dtype)(x)
+        r = x
+
+        # time embedding -> MLP (ddpm.py:311-333)
+        time_dim = self.dim * 4
+        if self.learned_sinusoidal_cond or self.random_fourier_features:
+            emb = RandomOrLearnedSinusoidalPosEmb(
+                self.learned_sinusoidal_dim, self.random_fourier_features
+            )(time)
+        else:
+            emb = SinusoidalPosEmb(self.dim, self.sinusoidal_pos_emb_theta)(time)
+        t = nn.Dense(time_dim)(emb)
+        t = nn.gelu(t)
+        t = nn.Dense(time_dim)(t)
+
+        def attn_layer(stage: int, dim: int):
+            if full_attn[stage]:
+                return Attention(
+                    dim, heads=heads[stage], dim_head=dim_heads[stage],
+                    flash=self.flash_attn,
+                )
+            return LinearAttention(dim, heads=heads[stage], dim_head=dim_heads[stage])
+
+        skips = []
+        for stage, (dim_in, dim_out) in enumerate(in_out):
+            is_last = stage == num_stages - 1
+            x = ResnetBlock(dim_in, self.resnet_block_groups, self.dtype)(x, t)
+            skips.append(x)
+            x = ResnetBlock(dim_in, self.resnet_block_groups, self.dtype)(x, t)
+            x = attn_layer(stage, dim_in)(x) + x
+            skips.append(x)
+            if not is_last:
+                x = Downsample(dim_out, self.dtype)(x)
+            else:
+                x = nn.Conv(dim_out, (3, 3), padding="SAME", dtype=self.dtype)(x)
+
+        mid_dim = dims[-1]
+        x = ResnetBlock(mid_dim, self.resnet_block_groups, self.dtype)(x, t)
+        x = Attention(
+            mid_dim, heads=heads[-1], dim_head=dim_heads[-1], flash=self.flash_attn
+        )(x) + x
+        x = ResnetBlock(mid_dim, self.resnet_block_groups, self.dtype)(x, t)
+
+        for stage, (dim_in, dim_out) in enumerate(reversed(in_out)):
+            rev_stage = num_stages - 1 - stage
+            is_last = stage == num_stages - 1
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock(dim_out, self.resnet_block_groups, self.dtype)(x, t)
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock(dim_out, self.resnet_block_groups, self.dtype)(x, t)
+            x = attn_layer(rev_stage, dim_out)(x) + x
+            if not is_last:
+                x = Upsample(dim_in, self.dtype)(x)
+            else:
+                x = nn.Conv(dim_in, (3, 3), padding="SAME", dtype=self.dtype)(x)
+
+        x = jnp.concatenate([x, r], axis=-1)
+        x = ResnetBlock(self.dim, self.resnet_block_groups, self.dtype)(x, t)
+        out = nn.Conv(self.output_channels, (1, 1), dtype=jnp.float32)(x)
+        return out.astype(jnp.float32)

@@ -1,0 +1,198 @@
+"""Diffusion stack: schedule golden values, closed-form identities, samplers,
+EMA gating, and a tiny overfit run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightning_generative_models_tpu.models.diffusion.gaussian_diffusion import (
+    GaussianDiffusion,
+    cosine_beta_schedule,
+    linear_beta_schedule,
+    sigmoid_beta_schedule,
+)
+from lightning_generative_models_tpu.models.diffusion.unet import UNet
+from lightning_generative_models_tpu.registry import load_model
+
+
+# ---------------------------------------------------------------- schedules
+def test_linear_schedule_golden():
+    betas = linear_beta_schedule(1000)
+    assert abs(betas[0] - 1e-4) < 1e-12
+    assert abs(betas[-1] - 0.02) < 1e-12
+    assert betas.shape == (1000,)
+
+
+def test_cosine_schedule_properties():
+    betas = cosine_beta_schedule(1000)
+    assert np.all(betas >= 0) and np.all(betas <= 0.999)
+    alphas_cumprod = np.cumprod(1 - betas)
+    assert alphas_cumprod[0] > 0.99 and alphas_cumprod[-1] < 1e-3
+
+
+def test_sigmoid_schedule_properties():
+    betas = sigmoid_beta_schedule(1000)
+    assert np.all(betas >= 0) and np.all(betas <= 0.999)
+    assert np.all(np.diff(np.cumprod(1 - betas)) < 0)
+
+
+def make_diffusion(**kw):
+    args = dict(img_size=8, channels=1, timesteps=100)
+    args.update(kw)
+    return GaussianDiffusion(**args)
+
+
+# ------------------------------------------------------- closed-form identities
+@pytest.mark.parametrize("objective", ["pred_noise", "pred_x0", "pred_v"])
+def test_qsample_inversion_identities(rng, objective):
+    gd = make_diffusion(objective=objective)
+    x0 = jax.random.uniform(rng, (4, 8, 8, 1), minval=-1, maxval=1)
+    noise = jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+    t = jnp.array([0, 10, 50, 99])
+    xt = gd.q_sample(x0, t, noise)
+
+    # Recover x0 from noise and vice versa.
+    # f32 tolerance: 1/sqrt(alpha_bar) amplifies roundoff at large t.
+    np.testing.assert_allclose(
+        np.asarray(gd.predict_start_from_noise(xt, t, noise)),
+        np.asarray(x0), rtol=3e-3, atol=3e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gd.predict_noise_from_start(xt, t, x0)),
+        np.asarray(noise), rtol=3e-3, atol=3e-3,
+    )
+    # v-parameterization roundtrip.
+    v = gd.predict_v(x0, t, noise)
+    np.testing.assert_allclose(
+        np.asarray(gd.predict_start_from_v(xt, t, v)),
+        np.asarray(x0), rtol=3e-3, atol=3e-3,
+    )
+
+
+def test_model_predictions_consistency(rng):
+    """All three objectives agree when the model is the oracle."""
+    x0 = jax.random.uniform(rng, (2, 8, 8, 1), minval=-1, maxval=1)
+    noise = jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+    t = jnp.array([30, 70])
+    for objective in ("pred_noise", "pred_x0", "pred_v"):
+        gd = make_diffusion(objective=objective)
+        xt = gd.q_sample(x0, t, noise)
+        oracle = {
+            "pred_noise": lambda x, tt, sc: noise,
+            "pred_x0": lambda x, tt, sc: x0,
+            "pred_v": lambda x, tt, sc: gd.predict_v(x0, tt, noise),
+        }[objective]
+        pred = gd.model_predictions(oracle, xt, t)
+        np.testing.assert_allclose(np.asarray(pred.pred_x_start), np.asarray(x0),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(pred.pred_noise), np.asarray(noise),
+                                   rtol=1e-2, atol=1e-2)
+
+
+def test_min_snr_weighting():
+    gd = make_diffusion(objective="pred_noise", min_snr_loss_weight=True,
+                        min_snr_gamma=5.0)
+    snr = np.asarray(gd.alphas_cumprod) / (1 - np.asarray(gd.alphas_cumprod))
+    expected = np.minimum(snr, 5.0) / snr
+    np.testing.assert_allclose(np.asarray(gd.loss_weight), expected, rtol=1e-4)
+
+
+# --------------------------------------------------------------- samplers
+def _tiny_ddpm(sampling_timesteps=None):
+    return load_model(
+        {
+            "name": "DDPM",
+            "args": {
+                "img_channels": 1,
+                "img_size": 16,
+                "dim": 8,
+                "diffusion_timesteps": 20,
+                "sampling_timesteps": sampling_timesteps,
+                "lr": 1e-3,
+                "betas": [0.9, 0.99],
+                "ema_update_every": 2,
+                "ema_decay": 0.9,
+                "ema_update_after_step": 3,
+                "use_bf16": False,
+            },
+        }
+    )
+
+
+def test_ddpm_train_decreases_and_ema_gates(rng):
+    model = _tiny_ddpm()
+    state = model.init_state(rng)
+    from lightning_generative_models_tpu.data.datasets import synthetic_dataset
+
+    images, labels = synthetic_dataset("MNIST", True, num_samples=8)
+    batch = {"image": images[:, :16, :16, :], "label": labels}
+    step = jax.jit(model.train_step, donate_argnums=0)
+
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["train_loss"]))
+        if i == 1:  # during warmup: EMA == raw params (hard copy)
+            diff = jax.tree_util.tree_map(
+                lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                state.params["model"], state.ema_params,
+            )
+            assert max(jax.tree_util.tree_leaves(diff)) == 0.0
+    # after warmup EMA lags raw params
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.params["model"], state.ema_params,
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0.0
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_ancestral_and_ddim_sampling_shapes(rng):
+    model = _tiny_ddpm()  # sampling_timesteps=None -> ancestral
+    state = model.init_state(rng)
+    imgs = jax.jit(model.sample, static_argnums=2)(state, rng, 2)
+    assert imgs.shape == (2, 16, 16, 1)
+    assert 0.0 <= float(imgs.min()) and float(imgs.max()) <= 1.0
+
+    ddim = _tiny_ddpm(sampling_timesteps=5)
+    assert ddim.diffusion.is_ddim_sampling
+    imgs = jax.jit(ddim.sample, static_argnums=2)(state, rng, 2)
+    assert imgs.shape == (2, 16, 16, 1)
+
+
+def test_ddim_deterministic_with_eta0(rng):
+    model = _tiny_ddpm(sampling_timesteps=5)
+    state = model.init_state(rng)
+    a = model.sample(state, rng, 2)
+    b = model.sample(state, rng, 2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_interpolate(rng):
+    model = _tiny_ddpm()
+    state = model.init_state(rng)
+    x1 = jnp.zeros((1, 16, 16, 1)) + 0.3
+    x2 = jnp.zeros((1, 16, 16, 1)) + 0.7
+    out = model.interpolate(state, x1, x2, rng, t=5)
+    assert out.shape == (1, 16, 16, 1)
+
+
+# ------------------------------------------------------------------- UNet
+def test_unet_shapes_and_self_condition(rng):
+    unet = UNet(dim=8, dim_mults=(1, 2), channels=3, self_condition=True)
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.array([0, 5])
+    params = unet.init(rng, x, t)["params"]
+    out = unet.apply({"params": params}, x, t, jnp.zeros_like(x))
+    assert out.shape == (2, 16, 16, 3)
+    out2 = unet.apply({"params": params}, x, t)  # default zero self-cond
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-5)
+
+
+def test_unet_learned_variance_output_channels(rng):
+    unet = UNet(dim=8, dim_mults=(1, 2), channels=1, learned_variance=True)
+    x = jnp.zeros((1, 16, 16, 1))
+    params = unet.init(rng, x, jnp.array([0]))["params"]
+    out = unet.apply({"params": params}, x, jnp.array([0]))
+    assert out.shape == (1, 16, 16, 2)
