@@ -1,0 +1,148 @@
+"""Headline benchmark: DCGAN CIFAR-10 training throughput (images/sec/chip).
+
+Measures the BASELINE.md north-star metric: steady-state (post-compile)
+train-step time for DCGAN on CIFAR-10 shapes at global batch 128, on the
+available accelerator. Protocol per BASELINE.md: warmup steps excluded,
+images/sec = global_batch / median(step_time) / n_chips.
+
+``vs_baseline`` compares against an A100 reference estimate for the same
+model/batch in PyTorch (the reference publishes no numbers — BASELINE.md §1;
+10,000 img/s is our documented A100 estimate for this small, launch-bound
+model; the driver target is >= 3x that). Also reports DDIM-50 sampling
+throughput in ``extras``.
+
+Usage: python bench.py [--steps N] [--quick]
+Prints exactly one JSON line to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_DCGAN_IMG_PER_SEC = 10_000.0  # documented estimate, see module docstring
+
+
+def _run_chain(step_fn, state, batch_dev, rng, n: int):
+    """Dispatch n sequential steps; force completion via scalar readback.
+
+    Through remote-tunneled PJRT backends ``block_until_ready`` can return
+    before real execution, so completion is forced by pulling a metric scalar
+    to the host.
+    """
+    metrics = None
+    for _ in range(n):
+        state, metrics = step_fn(state, batch_dev, rng)
+    float(next(iter(metrics.values())))  # D2H readback = real barrier
+    return state
+
+
+def bench_dcgan(steps: int, batch: int = 128):
+    """Slope-based steady-state timing: time(N2 steps) - time(N1 steps)
+    divided by (N2 - N1) cancels the fixed dispatch/readback latency."""
+    import jax
+
+    from lightning_generative_models_tpu.registry import load_model
+
+    model = load_model(
+        {
+            "name": "DCGAN",
+            "args": {
+                "img_channels": 3,
+                "img_size": 32,
+                "latent_dim": 100,
+                "lr": 2e-4,
+                "b1": 0.5,
+                "b2": 0.999,
+                "weight_decay": 1e-5,
+            },
+        }
+    )
+    rng = jax.random.PRNGKey(0)
+    state = model.init_state(rng)
+    rs = np.random.RandomState(0)
+    batch_np = {
+        "image": rs.randint(0, 256, size=(batch, 32, 32, 3), dtype=np.uint8),
+        "label": rs.randint(0, 10, size=batch).astype(np.int32),
+    }
+    batch_dev = jax.tree_util.tree_map(jax.device_put, batch_np)
+
+    step_fn = jax.jit(model.train_step, donate_argnums=0)
+    state = _run_chain(step_fn, state, batch_dev, rng, 3)  # compile + warmup
+
+    n1, n2 = max(steps // 5, 1), steps
+    t0 = time.perf_counter()
+    state = _run_chain(step_fn, state, batch_dev, rng, n1)
+    t1 = time.perf_counter()
+    state = _run_chain(step_fn, state, batch_dev, rng, n2)
+    t2 = time.perf_counter()
+    per_step = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
+    per_step = max(per_step, 1e-9)
+    return batch / per_step, per_step
+
+
+def bench_ddim50(batch: int = 64, reps: int = 3, dim: int = 64, img: int = 32):
+    """DDIM-50 samples/sec (reference protocol: batch-64 EMA sampling)."""
+    import jax
+
+    from lightning_generative_models_tpu.models.diffusion.ddpm import DDPM
+
+    model = DDPM(
+        img_channels=3, img_size=img, dim=dim,
+        diffusion_timesteps=1000, sampling_timesteps=50,
+    )
+    rng = jax.random.PRNGKey(0)
+    state = model.init_state(rng)
+    sample = jax.jit(model.sample, static_argnums=2)
+    float(sample(state, rng, batch)[0, 0, 0, 0])  # compile + warmup w/ readback
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        float(sample(state, jax.random.fold_in(rng, i), batch)[0, 0, 0, 0])
+        times.append(time.perf_counter() - t0)
+    return batch / float(np.median(times))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=50)
+    parser.add_argument("--quick", action="store_true",
+                        help="skip the DDIM sampling extra")
+    args = parser.parse_args()
+
+    import jax
+
+    n_chips = jax.device_count()
+    img_per_sec, step_time = bench_dcgan(args.steps)
+    per_chip = img_per_sec / n_chips
+
+    extras = {
+        "dcgan_step_time_ms": round(step_time * 1e3, 3),
+        "n_chips": n_chips,
+        "backend": jax.default_backend(),
+    }
+    if not args.quick:
+        try:
+            extras["ddim50_samples_per_sec"] = round(bench_ddim50(), 2)
+        except Exception as e:  # keep the headline metric robust
+            extras["ddim50_error"] = str(e)[:200]
+
+    print(
+        json.dumps(
+            {
+                "metric": "DCGAN CIFAR-10 train images/sec/chip",
+                "value": round(per_chip, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(per_chip / A100_DCGAN_IMG_PER_SEC, 3),
+                "extras": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
