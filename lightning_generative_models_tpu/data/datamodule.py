@@ -186,3 +186,81 @@ class DataModule:
     def test_batches(self) -> Iterator[Batch]:
         self.setup()
         return self._batches(self.test_images, self.test_labels, False, 0)
+
+
+class PairedDataModule(DataModule):
+    """Two-domain batches for CycleGAN-style unpaired translation.
+
+    Reads ``<data_dir>/<name>/trainA`` and ``trainB`` image folders (the
+    layout produced by the reference's download_cyclegan_dataset.sh) when
+    present; otherwise builds two synthetic domains by splitting the
+    synthetic class space in half. Batches carry ``image_A`` / ``image_B``.
+    """
+
+    def sanity_check(self) -> None:  # any channel count is valid per domain
+        pass
+
+    def setup(self) -> None:
+        if self._is_setup:
+            return
+        from pathlib import Path
+
+        from lightning_generative_models_tpu.data.datasets import (
+            _load_image_folder,
+            synthetic_dataset,
+        )
+
+        root = Path(self.data_dir) / self.name
+        size3 = (self.img_size, self.img_size, self.img_channels)
+        domain_a = domain_b = None
+        if root.exists():
+            domain_a = _load_image_folder(root / "trainA", True, size3)
+            domain_b = _load_image_folder(root / "trainB", True, size3)
+        if domain_a is None or domain_b is None:
+            images, labels = synthetic_dataset(
+                "CIFAR10", True, num_samples=self.synthetic_size or 1024
+            )
+            half = max(labels.max() // 2, 1)
+            domain_a = (images[labels < half], labels[labels < half])
+            domain_b = (images[labels >= half], labels[labels >= half])
+            self.is_synthetic = True
+        else:
+            self.is_synthetic = False
+
+        def _prep(images: np.ndarray) -> np.ndarray:
+            return _resize_batch(_center_crop_square(images), self.img_size)
+
+        self.images_a = _prep(domain_a[0])
+        self.images_b = _prep(domain_b[0])
+        n = min(len(self.images_a), len(self.images_b))
+        n_train = int(n * self.train_val_split)
+        self._n_train, self._n_total = n_train, n
+        self._is_setup = True
+
+    def steps_per_epoch(self, split: str = "train") -> int:
+        self.setup()
+        n = self._n_train if split == "train" else self._n_total - self._n_train
+        return max(n // self.batch_size, 1)
+
+    def _paired(self, lo: int, hi: int, shuffle: bool, epoch: int):
+        n = hi - lo
+        bs = min(self.batch_size, n)
+        rs = np.random.RandomState(self.seed + 2000 + epoch)
+        order_a = rs.permutation(n) + lo if shuffle else np.arange(lo, hi)
+        order_b = rs.permutation(n) + lo if shuffle else np.arange(lo, hi)
+        for start in range(0, n - bs + 1, bs):
+            yield {
+                "image_A": self.images_a[order_a[start : start + bs]],
+                "image_B": self.images_b[order_b[start : start + bs]],
+            }
+
+    def train_batches(self, epoch: int = 0):
+        self.setup()
+        return self._paired(0, self._n_train, True, epoch)
+
+    def val_batches(self):
+        self.setup()
+        return self._paired(self._n_train, self._n_total, False, 0)
+
+    def test_batches(self):
+        return self.val_batches()

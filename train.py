@@ -95,7 +95,17 @@ def main(argv=None):
     args = setup_arguments(argv)
 
     model = load_model(args.config["model"])
-    datamodule = DataModule(**args.config["dataset"], num_workers=args.num_workers)
+    paired = args.config["dataset"].pop("paired", None)
+    if paired is None:
+        paired = args.config["model"]["name"].lower() == "cyclegan"
+    if paired:
+        from lightning_generative_models_tpu.data.datamodule import PairedDataModule
+
+        datamodule = PairedDataModule(
+            **args.config["dataset"], num_workers=args.num_workers
+        )
+    else:
+        datamodule = DataModule(**args.config["dataset"], num_workers=args.num_workers)
     exp_logger = ExperimentLogger(
         args.experiment_dir,
         project=args.project,
