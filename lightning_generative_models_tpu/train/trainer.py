@@ -194,17 +194,80 @@ class Trainer:
         sums: Dict[str, float] = {}
         count = 0
         rng = jax.random.fold_in(self._run_rng, 0x57A7)
+        gen_metrics = self._generative_metrics()
         for batch in prefetch_to_device(self.datamodule.val_batches(), self.mesh):
             metrics = self._eval_step(state, batch, rng)
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
+            if gen_metrics:
+                self._update_generative_metrics(state, batch, rng, gen_metrics)
             count += 1
         if count == 0:
             return {}
         means = {k: v / count for k, v in sums.items()}
+        if gen_metrics:
+            means.update(self._compute_generative_metrics(gen_metrics))
         self.logger.log_metrics(means, self.global_step)
         self._log_samples(state)
         return means
+
+    # -- FID/KID/IS (reference gan.py:132-241, infogan.py:378-427) ----------
+    def _generative_metrics(self) -> Dict[str, Any]:
+        if not getattr(self.model, "calculate_metrics", False):
+            return {}
+        wanted = getattr(self.model, "metrics", None) or []
+        if not hasattr(self, "_gen_metric_objs"):
+            from lightning_generative_models_tpu.metrics import (
+                FrechetInceptionDistance,
+                InceptionScore,
+                KernelInceptionDistance,
+            )
+            from lightning_generative_models_tpu.metrics.inception import (
+                InceptionFeatureExtractor,
+            )
+
+            extractor = InceptionFeatureExtractor()
+            objs: Dict[str, Any] = {}
+            if "fid" in wanted:
+                objs["fid"] = FrechetInceptionDistance(extractor)
+            if "kid" in wanted:
+                objs["kid"] = KernelInceptionDistance(extractor, subset_size=100)
+            if "is" in wanted:
+                objs["is"] = InceptionScore(extractor)
+            self._gen_metric_objs = objs
+        return self._gen_metric_objs
+
+    def _update_generative_metrics(self, state, batch, rng, objs) -> None:
+        real_u8 = np.asarray(batch["image"])
+        fake01 = np.asarray(
+            jax.device_get(self._sample(state, rng, real_u8.shape[0]))
+        )
+        # Reference quantization: [-1,1] -> add(1).mul(127.5).byte()
+        # == truncation of [0,1]*255 (gan.py:203-227).
+        fake_u8 = np.clip(fake01 * 255.0, 0, 255).astype(np.uint8)
+        if "fid" in objs:
+            objs["fid"].update(real_u8, real=True)
+            objs["fid"].update(fake_u8, real=False)
+        if "kid" in objs:
+            objs["kid"].update(real_u8, real=True)
+            objs["kid"].update(fake_u8, real=False)
+        if "is" in objs:
+            objs["is"].update(fake_u8)
+
+    def _compute_generative_metrics(self, objs) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        if "fid" in objs:
+            out["fid_score"] = objs["fid"].compute()
+            objs["fid"].reset()
+        if "kid" in objs:
+            kid_mean, kid_std = objs["kid"].compute()
+            out["mean_kid_score"], out["std_kid_score"] = kid_mean, kid_std
+            objs["kid"].reset()
+        if "is" in objs:
+            is_mean, is_std = objs["is"].compute()
+            out["mean_inception_score"], out["std_inception_score"] = is_mean, is_std
+            objs["is"].reset()
+        return out
 
     def _log_samples(self, state: Any) -> None:
         try:

@@ -1,0 +1,105 @@
+"""FID/KID/IS math properties + InceptionV3 architecture checks."""
+
+import numpy as np
+import pytest
+
+from lightning_generative_models_tpu.metrics.generative import (
+    FrechetInceptionDistance,
+    InceptionScore,
+    KernelInceptionDistance,
+    frechet_distance,
+    matrix_sqrt_psd,
+)
+
+
+class TinyExtractor:
+    """Cheap stand-in feature extractor: 8x8 mean-pooled pixels + fake logits."""
+
+    def __call__(self, images_u8):
+        x = np.asarray(images_u8, np.float32) / 255.0
+        b, h, w, c = x.shape
+        fh = x.reshape(b, 8, h // 8, 8, w // 8, c).mean(axis=(2, 4)).reshape(b, -1)
+        logits = fh[:, :10] * 10.0
+        return fh, logits
+
+
+def images(seed, n=64, shift=0.0):
+    rs = np.random.RandomState(seed)
+    x = rs.rand(n, 32, 32, 3) * 0.5 + shift
+    return (np.clip(x, 0, 1) * 255).astype(np.uint8)
+
+
+def test_matrix_sqrt_psd():
+    rs = np.random.RandomState(0)
+    a = rs.randn(8, 8)
+    mat = a @ a.T  # PSD
+    root = matrix_sqrt_psd(mat)
+    np.testing.assert_allclose(root @ root, mat, atol=1e-8)
+
+
+def test_frechet_distance_identity():
+    mu = np.zeros(4)
+    sigma = np.eye(4)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-10
+
+
+def test_frechet_distance_mean_shift():
+    mu1, mu2 = np.zeros(4), np.full(4, 2.0)
+    sigma = np.eye(4)
+    # Equal covariances: FID = ||mu1 - mu2||^2 = 16.
+    assert abs(frechet_distance(mu1, sigma, mu2, sigma) - 16.0) < 1e-8
+
+
+def test_fid_same_distribution_near_zero():
+    fid = FrechetInceptionDistance(TinyExtractor())
+    fid.update(images(0, 256), real=True)
+    fid.update(images(1, 256), real=False)
+    same = fid.compute()
+    fid.reset()
+    fid.update(images(0, 256), real=True)
+    fid.update(images(2, 256, shift=0.4), real=False)
+    shifted = fid.compute()
+    assert shifted > same * 5
+
+
+def test_kid_same_vs_shifted():
+    kid = KernelInceptionDistance(TinyExtractor(), subset_size=32, subsets=4)
+    kid.update(images(0, 64), real=True)
+    kid.update(images(1, 64), real=False)
+    same_mean, _ = kid.compute()
+    kid.reset()
+    kid.update(images(0, 64), real=True)
+    kid.update(images(2, 64, shift=0.4), real=False)
+    shifted_mean, _ = kid.compute()
+    assert shifted_mean > same_mean
+    assert abs(same_mean) < 0.1
+
+
+def test_inception_score_bounds():
+    is_metric = InceptionScore(TinyExtractor(), splits=2)
+    is_metric.update(images(0, 64))
+    mean, std = is_metric.compute()
+    assert 1.0 <= mean <= 10.0  # between uniform (1) and one-hot (n_classes)
+
+
+@pytest.mark.slow
+def test_inception_v3_feature_shape(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_generative_models_tpu.metrics.inception import (
+        FEATURE_DIM,
+        NUM_LOGITS,
+        InceptionV3,
+    )
+
+    module = InceptionV3()
+    variables = jax.eval_shape(
+        module.init, rng, jnp.zeros((1, 299, 299, 3))
+    )
+    out = jax.eval_shape(
+        lambda v, x: module.apply(v, x), variables, jnp.zeros((2, 299, 299, 3))
+    )
+    feats, logits = out
+    assert feats.shape == (2, FEATURE_DIM)
+    assert logits.shape == (2, NUM_LOGITS)
