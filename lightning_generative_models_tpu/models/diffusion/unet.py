@@ -92,14 +92,21 @@ class Downsample(nn.Module):
         return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(space_to_depth(x))
 
 
+def nearest_upsample_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x via broadcast+reshape (no gather — XLA folds this
+    into the following conv's input layout far better than image.resize)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
 class Upsample(nn.Module):
     dim_out: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        x = nearest_upsample_2x(x)
         return nn.Conv(self.dim_out, (3, 3), padding="SAME", dtype=self.dtype)(x)
 
 

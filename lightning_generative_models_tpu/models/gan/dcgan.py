@@ -39,10 +39,12 @@ def bn_scale_init(key, shape, dtype=jnp.float32):
 
 class ConvGenerator(nn.Module):
     """64x64: 4x4x1024 seed -> 4 up-blocks; 28x28: 7x7x256 seed -> 2 up-blocks
-    (reference dcgan.py:45-60)."""
+    (reference dcgan.py:45-60). ``dtype`` sets the conv compute precision
+    (bf16 on TPU); BatchNorm statistics stay f32."""
 
     img_size: int
     img_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = True) -> jax.Array:
@@ -53,32 +55,37 @@ class ConvGenerator(nn.Module):
         else:
             raise ValueError(f"DCGAN supports 28 or multiples of 16, got {self.img_size}")
 
-        h = nn.Dense(seed_hw * seed_hw * widths[0], kernel_init=conv_init)(z)
+        h = nn.Dense(
+            seed_hw * seed_hw * widths[0], kernel_init=conv_init, dtype=self.dtype
+        )(z.astype(self.dtype))
         h = h.reshape(h.shape[0], seed_hw, seed_hw, widths[0])
         h = nn.BatchNorm(
-            use_running_average=not train, scale_init=bn_scale_init
+            use_running_average=not train, scale_init=bn_scale_init,
+            dtype=jnp.float32,
         )(h)
-        h = nn.relu(h)
+        h = nn.relu(h).astype(self.dtype)
         for width in widths[1:]:
             h = nn.ConvTranspose(
                 width, (4, 4), strides=(2, 2), padding="SAME",
-                use_bias=False, kernel_init=conv_init,
+                use_bias=False, kernel_init=conv_init, dtype=self.dtype,
             )(h)
             h = nn.BatchNorm(
-                use_running_average=not train, scale_init=bn_scale_init
+                use_running_average=not train, scale_init=bn_scale_init,
+                dtype=jnp.float32,
             )(h)
-            h = nn.relu(h)
+            h = nn.relu(h).astype(self.dtype)
         h = nn.ConvTranspose(
             self.img_channels, (4, 4), strides=(2, 2), padding="SAME",
-            use_bias=False, kernel_init=conv_init,
+            use_bias=False, kernel_init=conv_init, dtype=self.dtype,
         )(h)
-        return jnp.tanh(h)
+        return jnp.tanh(h.astype(jnp.float32))
 
 
 class ConvDiscriminator(nn.Module):
     """Mirrored strided-conv stack (reference dcgan.py:115-130)."""
 
     img_size: int
+    dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -87,32 +94,36 @@ class ConvDiscriminator(nn.Module):
         else:  # 28x28
             widths = (64, 128)
 
-        h = x
+        h = x.astype(self.dtype)
         for i, width in enumerate(widths):
             h = nn.Conv(
                 width, (4, 4), strides=(2, 2), padding="SAME",
-                use_bias=False, kernel_init=conv_init,
+                use_bias=False, kernel_init=conv_init, dtype=self.dtype,
             )(h)
             if i > 0:
                 h = nn.BatchNorm(
-                    use_running_average=not train, scale_init=bn_scale_init
+                    use_running_average=not train, scale_init=bn_scale_init,
+                    dtype=jnp.float32,
                 )(h)
-            h = nn.leaky_relu(h, 0.2)
+            h = nn.leaky_relu(h, 0.2).astype(self.dtype)
 
         if self.img_size == 28:
             # 7x7 feature map -> 256 via VALID k7 conv, then 1x1 head
             h = nn.Conv(256, (7, 7), padding="VALID", use_bias=False,
-                        kernel_init=conv_init)(h)
+                        kernel_init=conv_init, dtype=self.dtype)(h)
             h = nn.BatchNorm(
-                use_running_average=not train, scale_init=bn_scale_init
+                use_running_average=not train, scale_init=bn_scale_init,
+                dtype=jnp.float32,
             )(h)
-            h = nn.leaky_relu(h, 0.2)
-            h = nn.Conv(1, (1, 1), use_bias=False, kernel_init=conv_init)(h)
+            h = nn.leaky_relu(h, 0.2).astype(self.dtype)
+            h = nn.Conv(1, (1, 1), use_bias=False, kernel_init=conv_init,
+                        dtype=jnp.float32)(h)
         else:
             final_hw = self.img_size // 16
             h = nn.Conv(1, (final_hw, final_hw), padding="VALID",
-                        use_bias=False, kernel_init=conv_init)(h)
-        return h.reshape(h.shape[0])
+                        use_bias=False, kernel_init=conv_init,
+                        dtype=jnp.float32)(h)
+        return h.reshape(h.shape[0]).astype(jnp.float32)
 
 
 class DCGAN(GAN):
@@ -129,7 +140,10 @@ class DCGAN(GAN):
         calculate_metrics: bool = False,
         metrics=None,
         summary: bool = True,
+        use_bf16: bool = True,
     ):
+        # Set before super().__init__ — _build_networks reads it.
+        self.dtype = jnp.bfloat16 if use_bf16 else jnp.float32
         super().__init__(
             img_channels=img_channels,
             img_size=img_size,
@@ -145,8 +159,9 @@ class DCGAN(GAN):
         )
 
     def _build_networks(self) -> None:
-        self.G = ConvGenerator(self.img_size, self.img_channels)
-        self.D = ConvDiscriminator(self.img_size)
+        dtype = getattr(self, "dtype", jnp.bfloat16)
+        self.G = ConvGenerator(self.img_size, self.img_channels, dtype=dtype)
+        self.D = ConvDiscriminator(self.img_size, dtype=dtype)
 
     def _latent_shape(self, batch_size: int) -> Tuple[int, ...]:
         return (batch_size, self.latent_dim)

@@ -38,6 +38,7 @@ class R1GAN(DCGAN):
         calculate_metrics: bool = False,
         metrics=None,
         summary: bool = True,
+        use_bf16: bool = False,  # f32 default: R1 penalty precision
     ):
         self.r1_penalty = r1_penalty
         super().__init__(
@@ -51,6 +52,7 @@ class R1GAN(DCGAN):
             calculate_metrics=calculate_metrics,
             metrics=metrics,
             summary=summary,
+            use_bf16=use_bf16,
         )
 
     def _r1(self, params_d, mutable_d, x: jax.Array) -> jax.Array:

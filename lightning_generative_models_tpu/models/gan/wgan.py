@@ -59,6 +59,7 @@ class WGAN(DCGAN):
         calculate_metrics: bool = False,
         metrics=None,
         summary: bool = True,
+        use_bf16: bool = False,  # f32 default: GP/clip precision sensitivity
     ):
         assert constraint_method in ("gp", "clip"), (
             "Either gradient penalty (gp) or weight clipping (clip) to "
@@ -79,6 +80,7 @@ class WGAN(DCGAN):
             calculate_metrics=calculate_metrics,
             metrics=metrics,
             summary=summary,
+            use_bf16=use_bf16,
         )
 
     def _build_optimizers(self, lr, b1, b2, weight_decay) -> None:

@@ -43,29 +43,41 @@ def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
 # Pallas flash attention
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_seq: int, block_k: int,
-                  scale: float):
-    """One (batch*head, q-block) program: stream KV blocks w/ online softmax."""
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_seq: int, kv_valid: int,
+                  block_k: int, scale: float):
+    """One (batch*head, q-block) program: stream KV blocks w/ online softmax.
+
+    ``kv_valid`` masks padded key columns (score -> -inf) so sequence lengths
+    that are not block multiples stay exact.
+    """
     from jax.experimental import pallas as pl  # noqa: PLC0415
 
-    q = q_ref[0].astype(jnp.float32) * scale  # [block_q, d]
+    q = (q_ref[0].astype(jnp.float32) * scale)  # [block_q, d]
     block_q, d = q.shape
 
     m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     o0 = jnp.zeros((block_q, d), jnp.float32)
+    needs_mask = kv_valid < kv_seq
 
     def body(i, carry):
         m_prev, l_prev, o_prev = carry
         k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        if needs_mask:
+            col = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(col < kv_valid, s, -jnp.inf)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        o_new = o_prev * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        o_new = o_prev * alpha + jnp.dot(
+            p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32
+        )
         return m_new, l_new, o_new
 
     _, l, o = jax.lax.fori_loop(0, kv_seq // block_k, body, (m0, l0, o0))
@@ -75,24 +87,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_seq: int, block_k: int,
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def _flash_attention(
     q: jax.Array, k: jax.Array, v: jax.Array,
-    block_q: int = 128, block_k: int = 128,
+    block_q: int = 256, block_k: int = 512,
 ) -> jax.Array:
     from jax.experimental import pallas as pl  # noqa: PLC0415
-    from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
 
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     scale = d**-0.5
+    block_q = min(block_q, max(128, 1 << (n_q - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (n_kv - 1).bit_length()))
 
-    # Pad sequences to block multiples; padded KV gets -inf-free treatment by
-    # masking via huge negative padding in K (exp underflows to 0).
     pad_q = (-n_q) % block_q
     pad_kv = (-n_kv) % block_k
     if pad_q:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
-    if pad_kv:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_kv), (0, 0)),
-                    constant_values=-1e30)
+    if pad_kv:  # padded key columns are masked inside the kernel
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
 
     bh = b * h
@@ -103,7 +113,8 @@ def _flash_attention(
     grid = (bh, qr.shape[1] // block_q)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, kv_seq=kr.shape[1], block_k=block_k, scale=scale
+            _flash_kernel, kv_seq=kr.shape[1], kv_valid=n_kv,
+            block_k=block_k, scale=scale,
         ),
         grid=grid,
         in_specs=[

@@ -1,0 +1,68 @@
+"""ops/: attention kernels and device-side preprocessing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightning_generative_models_tpu.ops import attention as A
+from lightning_generative_models_tpu.ops.preprocess import (
+    prepare_batch,
+    random_hflip,
+    to_float01,
+)
+
+
+def qkv(rng, n, d, b=1, h=2, dtype=jnp.float32):
+    mk = lambda i: jax.random.normal(jax.random.fold_in(rng, i), (b, h, n, d), dtype)
+    return mk(1), mk(2), mk(3)
+
+
+@pytest.mark.parametrize("n,d", [(256, 64), (300, 64), (1024, 32)])
+def test_flash_attention_matches_xla(rng, n, d):
+    """Pallas online-softmax kernel vs plain attention (interpret mode on
+    CPU; the same code compiles via Mosaic on TPU)."""
+    q, k, v = qkv(rng, n, d)
+    ref = A._xla_attention(q, k, v)
+    old = A._INTERPRET
+    A._INTERPRET = jax.default_backend() != "tpu"
+    try:
+        out = A._flash_attention(q, k, v)
+    finally:
+        A._INTERPRET = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_sdpa_dispatch_short_seq_uses_xla(rng):
+    # Short sequences must not hit the Pallas path even when requested.
+    q, k, v = qkv(rng, 64, 32)
+    out = A.scaled_dot_product_attention(q, k, v, use_pallas=True)
+    ref = A._xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_to_float01():
+    u8 = np.array([[0, 127, 255]], np.uint8).reshape(1, 1, 3, 1)
+    f = to_float01(jnp.asarray(u8))
+    np.testing.assert_allclose(np.asarray(f).ravel(), [0.0, 127 / 255, 1.0])
+
+
+def test_random_hflip_deterministic_and_valid(rng):
+    x = jnp.arange(2 * 4 * 4 * 1, dtype=jnp.float32).reshape(2, 4, 4, 1)
+    a = random_hflip(x, rng)
+    b = random_hflip(x, rng)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Each sample is either identical or exactly mirrored.
+    for i in range(2):
+        xi, ai = np.asarray(x[i]), np.asarray(a[i])
+        assert np.array_equal(ai, xi) or np.array_equal(ai, xi[:, ::-1, :])
+
+
+def test_prepare_batch_eval_no_flip(rng):
+    rs = np.random.RandomState(0)
+    batch = {"image": rs.randint(0, 256, (4, 8, 8, 1), np.uint8),
+             "label": np.zeros(4, np.int32)}
+    out = prepare_batch(batch, rng, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["image"]), batch["image"].astype(np.float32) / 255.0
+    )
