@@ -1,0 +1,75 @@
+"""Sampling/inference CLI: generate images from a trained checkpoint.
+
+The reference has no inference entry point (train.py only); this completes
+the serve-side surface: load ``experiments/<MODEL>/<name>/checkpoints/{last,
+best}``, sample N images (EMA weights where the model keeps them), and write
+a grid plus individual PNGs.
+
+    python generate.py --config_path configs/diffusion/ddim_cifar10.json \
+        --experiment_name my_run --num_samples 64 [--which best] [--out dir]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from lightning_generative_models_tpu.config import load_config
+from lightning_generative_models_tpu.experiment.logger import _write_png
+from lightning_generative_models_tpu.registry import load_model
+from lightning_generative_models_tpu.train.checkpoint import CheckpointManager
+from lightning_generative_models_tpu.utils.grid import make_grid
+from lightning_generative_models_tpu.utils.path import EXPERIMENT_DIR
+
+logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+logging.getLogger("absl").setLevel(logging.WARNING)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("Generate samples from a checkpoint")
+    parser.add_argument("--config_path", type=str, required=True)
+    parser.add_argument("--experiment_name", type=str, required=True)
+    parser.add_argument("--which", type=str, default="last", choices=["last", "best"])
+    parser.add_argument("--num_samples", type=int, default=64)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", type=str, default=None)
+    parser.add_argument(
+        "--save_individual", action="store_true", help="also write one PNG per sample"
+    )
+    args = parser.parse_args(argv)
+
+    config = load_config(args.config_path)
+    model = load_model(config["model"])
+    exp_dir = Path(EXPERIMENT_DIR) / config["model"]["name"] / args.experiment_name
+    ckpt = CheckpointManager(exp_dir / "checkpoints", monitor=model.monitor)
+
+    rng = jax.random.PRNGKey(args.seed)
+    state = model.init_state(rng)
+    state, step, _ = ckpt.restore(state, args.which)
+    print(f"Restored {args.which} checkpoint at step {step} from {exp_dir}")
+
+    images = jax.jit(model.sample, static_argnums=2)(
+        state, jax.random.fold_in(rng, 1), args.num_samples
+    )
+    images = np.asarray(jax.device_get(images))
+
+    out_dir = Path(args.out) if args.out else exp_dir / "generated"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    grid_path = out_dir / f"grid_{args.which}_step{step}.png"
+    _write_png(grid_path, make_grid(images))
+    print(f"Wrote {grid_path}")
+    if args.save_individual:
+        for i, img in enumerate(images):
+            _write_png(out_dir / f"sample_{i:04d}.png",
+                       (np.clip(img, 0, 1) * 255).astype(np.uint8))
+        print(f"Wrote {len(images)} individual samples to {out_dir}")
+    return images
+
+
+if __name__ == "__main__":
+    main()

@@ -209,7 +209,29 @@ class Trainer:
             means.update(self._compute_generative_metrics(gen_metrics))
         self.logger.log_metrics(means, self.global_step)
         self._log_samples(state)
+        self._log_tables(state)
         return means
+
+    def _log_tables(self, state: Any) -> None:
+        """Latent / codebook tables (reference vae.py:228-241,
+        vqvae.py:258-267)."""
+        try:
+            if hasattr(self.model, "encode_for_logging"):
+                batch = next(iter(self.datamodule.val_batches()))
+                latents = self.model.encode_for_logging(state, batch)
+                cols = [f"z{i}" for i in range(latents.shape[1])] + ["label"]
+                rows = [
+                    list(map(float, z)) + [int(label)]
+                    for z, label in zip(latents[:256], batch["label"][:256])
+                ]
+                self.logger.log_table("latent_space", cols, rows, self.global_step)
+            if hasattr(self.model, "codebook_table"):
+                codebook = self.model.codebook_table(state)
+                cols = [f"d{i}" for i in range(codebook.shape[1])]
+                rows = [list(map(float, row)) for row in codebook]
+                self.logger.log_table("codebook", cols, rows, self.global_step)
+        except Exception as e:  # table logging must never kill training
+            logger.warning("table logging failed: %s", e)
 
     # -- FID/KID/IS (reference gan.py:132-241, infogan.py:378-427) ----------
     def _generative_metrics(self) -> Dict[str, Any]:

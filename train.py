@@ -46,9 +46,17 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
     parser.add_argument("--max_steps", type=int, default=-1)
     parser.add_argument("--strategy", type=str, default="data_parallel")
     parser.add_argument("--accumulate_grad_batches", type=int, default=1)
-    parser.add_argument("--precision", type=str, default=None)
+    parser.add_argument(
+        "--precision", type=str, default=None,
+        help="'bf16' forces bfloat16 compute, '32' forces float32, for "
+        "models exposing use_bf16 (reference --precision passthrough)",
+    )
     parser.add_argument("--ckpt_path", type=str, default=None)
     parser.add_argument("--seed", type=int, default=10)
+    parser.add_argument(
+        "--debug_nans", action="store_true",
+        help="enable jax_debug_nans (SURVEY §5: sanitizer equivalent)",
+    )
     parser.add_argument(
         "--profile_steps",
         type=str,
@@ -93,6 +101,21 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
 
 def main(argv=None):
     args = setup_arguments(argv)
+
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
+    if args.precision:
+        import inspect
+
+        from lightning_generative_models_tpu.registry import resolve_model_class
+
+        cls = resolve_model_class(args.config["model"]["name"])
+        if "use_bf16" in inspect.signature(cls.__init__).parameters:
+            wants_bf16 = args.precision.lower() in ("bf16", "bfloat16", "16")
+            args.config["model"]["args"].setdefault("use_bf16", wants_bf16)
 
     model = load_model(args.config["model"])
     paired = args.config["dataset"].pop("paired", None)
