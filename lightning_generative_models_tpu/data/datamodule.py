@@ -63,6 +63,20 @@ def _center_crop_square(images: np.ndarray) -> np.ndarray:
     return images[:, top : top + side, left : left + side, :]
 
 
+def _prep_images(images: np.ndarray, size: int) -> np.ndarray:
+    """One-time dataset staging: center-crop + resize, via the native C++
+    library (native/preprocess.cpp) when a real resize is needed, else the
+    numpy path."""
+    _, h, w, _ = images.shape
+    if min(h, w) != size:
+        from lightning_generative_models_tpu.data import native
+
+        out = native.center_crop_resize_batch(images, size)
+        if out is not None:
+            return out
+    return _resize_batch(_center_crop_square(images), size)
+
+
 class DataModule:
     """Loads, splits and batches a dataset; accepts the reference's kwargs.
 
@@ -123,12 +137,8 @@ class DataModule:
             synthetic_size=(self.synthetic_size // 4 if self.synthetic_size else None),
         )
 
-        def _prep(images: np.ndarray) -> np.ndarray:
-            images = _center_crop_square(images)
-            return _resize_batch(images, self.img_size)
-
-        train_pool = _prep(train_pool)
-        test_images = _prep(test_images)
+        train_pool = _prep_images(train_pool, self.img_size)
+        test_images = _prep_images(test_images, self.img_size)
 
         # Seeded split (independent of global seed; reference used an
         # unseeded random_split, SURVEY §2.8(9)).
@@ -227,11 +237,8 @@ class PairedDataModule(DataModule):
         else:
             self.is_synthetic = False
 
-        def _prep(images: np.ndarray) -> np.ndarray:
-            return _resize_batch(_center_crop_square(images), self.img_size)
-
-        self.images_a = _prep(domain_a[0])
-        self.images_b = _prep(domain_b[0])
+        self.images_a = _prep_images(domain_a[0], self.img_size)
+        self.images_b = _prep_images(domain_b[0], self.img_size)
         n = min(len(self.images_a), len(self.images_b))
         n_train = int(n * self.train_val_split)
         self._n_train, self._n_total = n_train, n
