@@ -73,11 +73,17 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     manual bookkeeping.
     """
 
+    multi_host = jax.process_count() > 1
+
     def _place(x: Any) -> jax.Array:
         x = np.asarray(x)
         if x.ndim == 0:
             return jax.device_put(x, replicated_sharding(mesh))
-        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        sharding = batch_sharding(mesh, x.ndim)
+        if multi_host:
+            # Each host feeds its local slice of the global batch.
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_place, batch)
 

@@ -66,3 +66,20 @@ def test_prepare_batch_eval_no_flip(rng):
     np.testing.assert_allclose(
         np.asarray(out["image"]), batch["image"].astype(np.float32) / 255.0
     )
+
+
+def test_fused_pallas_preprocess_matches_reference(rng):
+    from lightning_generative_models_tpu.ops.preprocess import (
+        fused_normalize_flip_pallas,
+    )
+
+    rs = np.random.RandomState(0)
+    imgs = jnp.asarray(rs.randint(0, 256, size=(8, 16, 16, 3), dtype=np.uint8))
+    flip = jnp.asarray(rs.randint(0, 2, 8).astype(bool))
+    out = fused_normalize_flip_pallas(
+        imgs, flip, interpret=jax.default_backend() != "tpu"
+    )
+    base = imgs.astype(jnp.float32) / 255.0
+    ref = jnp.where(flip[:, None, None, None], base[:, :, ::-1, :], base)
+    # half-LSB tolerance: the flip permutation rides the MXU (bf16 pass)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2.5e-3)
