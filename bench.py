@@ -107,6 +107,33 @@ def bench_ddim50(batch: int = 64, reps: int = 3, dim: int = 64, img: int = 32):
     return batch / float(np.median(times))
 
 
+def bench_ddpm_train(steps: int = 30, batch: int = 128):
+    """DDPM CIFAR-10-shape training throughput (the FID-parity workload)."""
+    import jax
+
+    from lightning_generative_models_tpu.models.diffusion.ddpm import DDPM
+
+    model = DDPM(img_channels=3, img_size=32, dim=64, diffusion_timesteps=1000)
+    rng = jax.random.PRNGKey(0)
+    state = model.init_state(rng)
+    rs = np.random.RandomState(0)
+    batch_np = {
+        "image": rs.randint(0, 256, size=(batch, 32, 32, 3), dtype=np.uint8),
+        "label": rs.randint(0, 10, size=batch).astype(np.int32),
+    }
+    batch_dev = jax.tree_util.tree_map(jax.device_put, batch_np)
+    step_fn = jax.jit(model.train_step, donate_argnums=0)
+    state = _run_chain(step_fn, state, batch_dev, rng, 3)
+    n1, n2 = max(steps // 5, 1), steps
+    t0 = time.perf_counter()
+    state = _run_chain(step_fn, state, batch_dev, rng, n1)
+    t1 = time.perf_counter()
+    _run_chain(step_fn, state, batch_dev, rng, n2)
+    t2 = time.perf_counter()
+    per_step = max(((t2 - t1) - (t1 - t0)) / (n2 - n1), 1e-9)
+    return batch / per_step
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=50)
@@ -130,6 +157,10 @@ def main():
             extras["ddim50_samples_per_sec"] = round(bench_ddim50(), 2)
         except Exception as e:  # keep the headline metric robust
             extras["ddim50_error"] = str(e)[:200]
+        try:
+            extras["ddpm_train_images_per_sec"] = round(bench_ddpm_train(), 1)
+        except Exception as e:
+            extras["ddpm_train_error"] = str(e)[:200]
 
     print(
         json.dumps(

@@ -24,8 +24,21 @@ def prefetch_to_device(
     mesh: Optional[Mesh] = None,
     size: int = 2,
 ) -> Iterator[Any]:
-    """Shard + device_put batches ``size`` steps ahead of consumption."""
+    """Shard + device_put batches ``size`` steps ahead of consumption.
+
+    Batches whose leading dimension does not divide the mesh's device count
+    are dropped (TPU programs are static-shaped; remainder batches are the
+    standard drop_remainder casualty) with a one-time warning.
+    """
+    import logging
+
     queue: collections.deque = collections.deque()
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    warned = False
+
+    def _divisible(batch: Any) -> bool:
+        leaves = [x for x in jax.tree_util.tree_leaves(batch) if getattr(x, "ndim", 0)]
+        return all(x.shape[0] % n_dev == 0 for x in leaves)
 
     def _put(batch: Any) -> Any:
         if mesh is not None:
@@ -33,6 +46,13 @@ def prefetch_to_device(
         return jax.tree_util.tree_map(jax.device_put, batch)
 
     for batch in iterator:
+        if n_dev > 1 and not _divisible(batch):
+            if not warned:
+                logging.getLogger(__name__).warning(
+                    "dropping batch not divisible by %d devices", n_dev
+                )
+                warned = True
+            continue
         queue.append(_put(batch))
         if len(queue) >= size:
             yield queue.popleft()

@@ -75,6 +75,8 @@ class DDPM(GenerativeModel):
             flash_attn=flash_attn,
             dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
         )
+        if sampling_timesteps is not None:
+            sampling_timesteps = min(sampling_timesteps, diffusion_timesteps)
         self.diffusion = GaussianDiffusion(
             img_size=img_size,
             channels=img_channels,

@@ -115,6 +115,7 @@ class Trainer:
             )
 
         state = mesh_lib.replicate(state, self.mesh)
+        self._log_model_summary(state)
 
         prev_handler = signal.getsignal(signal.SIGTERM)
         signal.signal(signal.SIGTERM, self._handle_sigterm)
@@ -126,6 +127,24 @@ class Trainer:
         return state
 
     # -- internals -----------------------------------------------------------
+    def _log_model_summary(self, state: Any) -> None:
+        """Per-group parameter counts (reference: torchinfo summaries at
+        construction, gan.py:323-354)."""
+        from lightning_generative_models_tpu.train.state import count_params
+
+        lines = []
+        total = 0
+        for group, tree in state.params.items():
+            n = count_params(tree)
+            total += n
+            lines.append(f"  {group}: {n:,} params")
+        if state.ema_params is not None:
+            lines.append(f"  ema: {count_params(state.ema_params):,} params")
+        logger.info(
+            "%s parameters:\n%s\n  total: %s",
+            type(self.model).__name__, "\n".join(lines), f"{total:,}",
+        )
+
     def _handle_sigterm(self, signum, frame):  # pragma: no cover - signal path
         logger.warning("SIGTERM received; will checkpoint and stop.")
         self._should_stop = True

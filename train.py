@@ -102,9 +102,16 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
 def main(argv=None):
     args = setup_arguments(argv)
 
-    if args.debug_nans:
-        import jax
+    import jax
 
+    # Persistent compile cache: the diffusion sampler's first compile is
+    # minutes; restarts and resumes hit the cache instead.
+    cache_dir = os.path.join(EXPERIMENT_DIR, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
     if args.precision:
