@@ -49,7 +49,7 @@ def main(argv=None):
     ckpt = CheckpointManager(exp_dir / "checkpoints", monitor=model.monitor)
 
     rng = jax.random.PRNGKey(args.seed)
-    state = model.init_state(rng)
+    state = jax.jit(model.init_state)(rng)
     state, step, _ = ckpt.restore(state, args.which)
     print(f"Restored {args.which} checkpoint at step {step} from {exp_dir}")
 

@@ -22,7 +22,7 @@ Conventions (TPU-first, deliberately diverging from the torch reference):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

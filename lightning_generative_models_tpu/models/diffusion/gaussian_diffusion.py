@@ -23,8 +23,8 @@ TPU design:
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Callable, NamedTuple, Optional, Tuple
+
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

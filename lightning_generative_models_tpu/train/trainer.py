@@ -100,7 +100,7 @@ class Trainer:
         rng = seed_everything(self.seed)
         init_rng, self._run_rng = jax.random.split(rng)
 
-        state = self.model.init_state(init_rng)
+        state = jax.jit(self.model.init_state)(init_rng)
         start_epoch = 0
         self.global_step = 0
         if resume and self.ckpt.has_checkpoint("last"):
