@@ -39,6 +39,18 @@ def nearest_code_indices(flat: jax.Array, codebook: jax.Array) -> jax.Array:
     return jnp.argmin(distances, axis=1)
 
 
+def _assign_codes(flat: jax.Array, codebook: jax.Array) -> jax.Array:
+    """Nearest-code assignment with Pallas dispatch for large lookups
+    (ops/vq.py: fused distance+argmin, ~4x XLA at N>=256k on v5e)."""
+    from lightning_generative_models_tpu.ops.vq import nearest_codes
+
+    return jax.lax.stop_gradient(
+        nearest_codes(
+            jax.lax.stop_gradient(flat), codebook, use_pallas=True
+        )
+    )
+
+
 def perplexity_from_counts(counts: jax.Array, n: jax.Array, eps: float = 1e-10):
     avg_probs = counts / n
     return jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + eps)))
@@ -66,7 +78,7 @@ class VectorQuantizer(nn.Module):
         )
         b, h, w, d = latents.shape
         flat = latents.reshape(-1, d)
-        indices = nearest_code_indices(flat, codebook)
+        indices = _assign_codes(flat, codebook)
         quantized = codebook[indices].reshape(b, h, w, d)
 
         # VQ loss (reference naming, vector_quantizer.py:71-78):
@@ -123,7 +135,7 @@ class VectorQuantizerEMA(nn.Module):
         b, h, w, d = latents.shape
         flat = latents.reshape(-1, d)
         codebook = embedding.value
-        indices = nearest_code_indices(flat, codebook)
+        indices = _assign_codes(flat, codebook)
 
         counts = jnp.zeros(self.num_embeddings).at[indices].add(1.0)
         perplexity = perplexity_from_counts(counts, flat.shape[0])

@@ -1,0 +1,82 @@
+"""Pallas TPU kernel: fused VQ codebook nearest-neighbor lookup.
+
+Computes ``argmin_k ||z_n - e_k||^2`` for a block of latents without ever
+writing the [N, K] distance matrix to HBM: each grid program streams one
+latent block into VMEM, forms the distance tile against the resident
+codebook via one MXU matmul, and reduces to indices on the VPU.
+
+The XLA path (modules/vector_quantizer.py `nearest_code_indices`) fuses well
+already at the reference's sizes; this kernel exists for large-K/long-N
+regimes and as the dispatch target of ``nearest_codes(..., use_pallas=True)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INTERPRET = False
+
+
+def _vq_kernel(z_ref, cb_ref, cb_sq_ref, out_ref):
+    z = z_ref[...]  # [block_n, d]
+    cb = cb_ref[...]  # [k, d]
+    # ||z - e||^2 = ||z||^2 - 2 z.e + ||e||^2; the z^2 term is row-constant
+    # and cannot change the argmin, so it is dropped.
+    scores = (
+        -2.0 * jnp.dot(z, cb.T, preferred_element_type=jnp.float32)
+        + cb_sq_ref[...]
+    )
+    out_ref[...] = jnp.argmin(scores, axis=1).astype(jnp.int32)[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def nearest_codes_pallas(
+    flat: jax.Array, codebook: jax.Array, block_n: int = 1024
+) -> jax.Array:
+    """[N, D] latents x [K, D] codebook -> [N] int32 indices."""
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    n, d = flat.shape
+    k = codebook.shape[0]
+    block_n = min(block_n, max(8, 1 << (n - 1).bit_length()))
+    pad_n = (-n) % block_n
+    if pad_n:
+        flat = jnp.pad(flat, ((0, pad_n), (0, 0)))
+    cb_sq = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=1)[None, :]
+
+    out = pl.pallas_call(
+        _vq_kernel,
+        grid=(flat.shape[0] // block_n,),
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda i: (i, 0)),
+            pl.BlockSpec((k, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_n, 1), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((flat.shape[0], 1), jnp.int32),
+        interpret=_INTERPRET,
+    )(flat.astype(jnp.float32), codebook.astype(jnp.float32), cb_sq)
+    return out[:n, 0]
+
+
+def nearest_codes(
+    flat: jax.Array, codebook: jax.Array, use_pallas: bool = False
+) -> jax.Array:
+    """Dispatching front-end used by modules/vector_quantizer.py."""
+    if (
+        use_pallas
+        and jax.default_backend() == "tpu"
+        and jax.device_count() == 1  # multi-chip needs a shard_map wrapper
+        and flat.shape[0] >= 1024
+        and flat.shape[1] % 8 == 0
+        and codebook.shape[0] % 128 == 0
+    ):
+        return nearest_codes_pallas(flat, codebook)
+    from lightning_generative_models_tpu.models.modules.vector_quantizer import (
+        nearest_code_indices,
+    )
+
+    return nearest_code_indices(flat, codebook)

@@ -83,3 +83,20 @@ def test_fused_pallas_preprocess_matches_reference(rng):
     ref = jnp.where(flip[:, None, None, None], base[:, :, ::-1, :], base)
     # half-LSB tolerance: the flip permutation rides the MXU (bf16 pass)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2.5e-3)
+
+
+def test_vq_pallas_kernel_matches_xla(rng):
+    from lightning_generative_models_tpu.ops import vq as vq_ops
+    from lightning_generative_models_tpu.models.modules.vector_quantizer import (
+        nearest_code_indices,
+    )
+
+    vq_ops._INTERPRET = jax.default_backend() != "tpu"
+    try:
+        z = jax.random.normal(jax.random.fold_in(rng, 1), (1000, 64))
+        cb = jax.random.normal(jax.random.fold_in(rng, 2), (512, 64))
+        ref = nearest_code_indices(z, cb)
+        ours = vq_ops.nearest_codes_pallas(z, cb)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(ours))
+    finally:
+        vq_ops._INTERPRET = False
