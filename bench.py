@@ -74,14 +74,17 @@ def bench_dcgan(steps: int, batch: int = 128):
     step_fn = jax.jit(model.train_step, donate_argnums=0)
     state = _run_chain(step_fn, state, batch_dev, rng, 3)  # compile + warmup
 
+    # Median of 3 slope estimates: the tunnel adds multi-ms jitter spikes.
     n1, n2 = max(steps // 5, 1), steps
-    t0 = time.perf_counter()
-    state = _run_chain(step_fn, state, batch_dev, rng, n1)
-    t1 = time.perf_counter()
-    state = _run_chain(step_fn, state, batch_dev, rng, n2)
-    t2 = time.perf_counter()
-    per_step = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
-    per_step = max(per_step, 1e-9)
+    estimates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = _run_chain(step_fn, state, batch_dev, rng, n1)
+        t1 = time.perf_counter()
+        state = _run_chain(step_fn, state, batch_dev, rng, n2)
+        t2 = time.perf_counter()
+        estimates.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    per_step = max(float(np.median(estimates)), 1e-9)
     return batch / per_step, per_step
 
 
