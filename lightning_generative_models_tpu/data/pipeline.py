@@ -23,6 +23,7 @@ def prefetch_to_device(
     iterator: Iterator[Any],
     mesh: Optional[Mesh] = None,
     size: int = 2,
+    batch_axis: int = 0,
 ) -> Iterator[Any]:
     """Shard + device_put batches ``size`` steps ahead of consumption.
 
@@ -37,12 +38,16 @@ def prefetch_to_device(
     warned = False
 
     def _divisible(batch: Any) -> bool:
-        leaves = [x for x in jax.tree_util.tree_leaves(batch) if getattr(x, "ndim", 0)]
-        return all(x.shape[0] % n_dev == 0 for x in leaves)
+        leaves = [
+            x
+            for x in jax.tree_util.tree_leaves(batch)
+            if getattr(x, "ndim", 0) > batch_axis
+        ]
+        return all(x.shape[batch_axis] % n_dev == 0 for x in leaves)
 
     def _put(batch: Any) -> Any:
         if mesh is not None:
-            return shard_batch(batch, mesh)
+            return shard_batch(batch, mesh, batch_axis)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
     for batch in iterator:

@@ -54,17 +54,18 @@ def create_mesh(
     return Mesh(dev_array, tuple(axis_names))
 
 
-def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Sharding that splits the leading (batch) dim over the data axis."""
-    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
-    return NamedSharding(mesh, spec)
+def batch_sharding(mesh: Mesh, ndim: int = 4, batch_axis: int = 0) -> NamedSharding:
+    """Sharding that splits the batch dim over the data axis."""
+    spec = [None] * ndim
+    spec[batch_axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
     """Place a (possibly nested) host batch on device, sharded on the batch dim.
 
     Replaces the reference's per-process batch division
@@ -77,9 +78,9 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
     def _place(x: Any) -> jax.Array:
         x = np.asarray(x)
-        if x.ndim == 0:
+        if x.ndim <= batch_axis:
             return jax.device_put(x, replicated_sharding(mesh))
-        sharding = batch_sharding(mesh, x.ndim)
+        sharding = batch_sharding(mesh, x.ndim, batch_axis)
         if multi_host:
             # Each host feeds its local slice of the global batch.
             return jax.make_array_from_process_local_data(sharding, x)

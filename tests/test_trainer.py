@@ -94,3 +94,27 @@ def test_artifacts_written(tmp_path):
     samples = list((tmp_path / "samples").glob("*.png"))
     assert samples, "no sample grids written"
     assert (tmp_path / "checkpoints" / "last").exists()
+
+
+def test_unroll_steps_matches_single_dispatch(tmp_path):
+    """unroll_steps=2 must produce exactly the same parameters as the
+    single-step dispatch over the same batches."""
+    import jax
+
+    t1 = Trainer(
+        make_model(), make_dm(16), tmp_path / "u1", max_steps=4,
+        log_every_n_steps=1, sample_every_n_steps=0, check_val_every_n_epoch=99,
+    )
+    s1 = t1.fit()
+    t2 = Trainer(
+        make_model(), make_dm(16), tmp_path / "u2", max_steps=4,
+        unroll_steps=2, log_every_n_steps=1, sample_every_n_steps=0,
+        check_val_every_n_epoch=99,
+    )
+    s2 = t2.fit()
+    assert t2.global_step == 4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)

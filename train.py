@@ -58,6 +58,11 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
         help="enable jax_debug_nans (SURVEY §5: sanitizer equivalent)",
     )
     parser.add_argument(
+        "--unroll_steps", type=int, default=1,
+        help="fuse k optimization steps per dispatch (~20%% faster for "
+        "small dispatch-bound models; coarser logging cadence)",
+    )
+    parser.add_argument(
         "--profile_steps",
         type=str,
         default=None,
@@ -161,6 +166,7 @@ def main(argv=None):
         accumulate_grad_batches=args.accumulate_grad_batches,
         seed=args.seed,
         profile_steps=profile_steps,
+        unroll_steps=args.unroll_steps,
     )
     state = trainer.fit(ckpt_path=args.ckpt_path, resume=args.resume)
     exp_logger.finish()
