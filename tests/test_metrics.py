@@ -103,3 +103,43 @@ def test_inception_v3_feature_shape(rng):
     feats, logits = out
     assert feats.shape == (2, FEATURE_DIM)
     assert logits.shape == (2, NUM_LOGITS)
+
+
+@pytest.mark.slow
+def test_inception_weight_conversion_matches_torch(tmp_path):
+    """End-to-end converter validation: a randomly initialized torch
+    InceptionV3 (torchvision layout) -> state_dict -> flax conversion must
+    produce numerically identical features (eval mode, running stats)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from tests.torch_inception_ref import TorchInceptionV3
+    from lightning_generative_models_tpu.metrics.inception import (
+        InceptionV3,
+        load_torch_weights,
+    )
+
+    torch.manual_seed(0)
+    tmodel = TorchInceptionV3().eval()
+    sd_path = tmp_path / "inception.pt"
+    torch.save(tmodel.state_dict(), sd_path)
+
+    variables = load_torch_weights(str(sd_path))
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(2, 299, 299, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        tfeat, tlogits = tmodel(torch.tensor(x.transpose(0, 3, 1, 2)))
+
+    module = InceptionV3()
+    feats, logits = jax.jit(lambda v, xx: module.apply(v, xx))(
+        variables, jnp.asarray(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats), tfeat.numpy(), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), tlogits.numpy(), rtol=1e-3, atol=1e-3
+    )
