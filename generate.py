@@ -41,6 +41,10 @@ def main(argv=None):
     parser.add_argument(
         "--save_individual", action="store_true", help="also write one PNG per sample"
     )
+    parser.add_argument(
+        "--label", type=int, default=None,
+        help="class label for conditional models (CGAN/ACGAN)",
+    )
     args = parser.parse_args(argv)
 
     config = load_config(args.config_path)
@@ -53,9 +57,16 @@ def main(argv=None):
     state, step, _ = ckpt.restore(state, args.which)
     print(f"Restored {args.which} checkpoint at step {step} from {exp_dir}")
 
-    images = jax.jit(model.sample, static_argnums=2)(
-        state, jax.random.fold_in(rng, 1), args.num_samples
-    )
+    sample_rng = jax.random.fold_in(rng, 1)
+    if args.label is not None and hasattr(model, "sample_classes"):
+        import jax.numpy as jnp
+
+        labels = jnp.full((args.num_samples,), args.label, jnp.int32)
+        images = model.sample_classes(state, sample_rng, labels)
+    else:
+        images = jax.jit(model.sample, static_argnums=2)(
+            state, sample_rng, args.num_samples
+        )
     images = np.asarray(jax.device_get(images))
 
     out_dir = Path(args.out) if args.out else exp_dir / "generated"

@@ -58,6 +58,10 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
         help="enable jax_debug_nans (SURVEY §5: sanitizer equivalent)",
     )
     parser.add_argument(
+        "--sample_every_n_steps", type=int, default=1000,
+        help="mid-training sample-grid cadence (0 disables; reference ddpm.py:1025)",
+    )
+    parser.add_argument(
         "--unroll_steps", type=int, default=1,
         help="fuse k optimization steps per dispatch (~20%% faster for "
         "small dispatch-bound models; coarser logging cadence)",
@@ -167,6 +171,7 @@ def main(argv=None):
         seed=args.seed,
         profile_steps=profile_steps,
         unroll_steps=args.unroll_steps,
+        sample_every_n_steps=args.sample_every_n_steps,
     )
     state = trainer.fit(ckpt_path=args.ckpt_path, resume=args.resume)
     exp_logger.finish()
