@@ -62,6 +62,45 @@ def nearest_codes_pallas(
     return out[:n, 0]
 
 
+# SPMD wrapper: under a mesh, the kernel runs independently per batch shard
+# (codebook replicated) — latents are batch-sharded in data-parallel training,
+# and the argmin is row-local, so no collective is needed.
+from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+
+@custom_partitioning
+def _nearest_codes_spmd(flat: jax.Array, codebook: jax.Array) -> jax.Array:
+    return nearest_codes_pallas(flat, codebook)
+
+
+def _infer_sharding(mesh, arg_infos, result_infos):
+    spec = arg_infos[0].sharding.spec if arg_infos[0].sharding else P()
+    return NamedSharding(mesh, P(spec[0] if len(spec) else None))
+
+
+def _partition(mesh, arg_infos, result_infos):
+    spec = arg_infos[0].sharding.spec if arg_infos[0].sharding else P()
+    batch = spec[0] if len(spec) else None
+    arg_shardings = (
+        NamedSharding(mesh, P(batch, None)),
+        NamedSharding(mesh, P()),  # codebook replicated
+    )
+    result_sharding = NamedSharding(mesh, P(batch))
+
+    def impl(flat, codebook):
+        return nearest_codes_pallas(flat, codebook)
+
+    return mesh, impl, result_sharding, arg_shardings
+
+
+_nearest_codes_spmd.def_partition(
+    infer_sharding_from_operands=_infer_sharding,
+    partition=_partition,
+    sharding_rule="n d, k d -> n",  # Shardy: n follows the batch sharding
+)
+
+
 def nearest_codes(
     flat: jax.Array, codebook: jax.Array, use_pallas: bool = False
 ) -> jax.Array:
@@ -69,12 +108,11 @@ def nearest_codes(
     if (
         use_pallas
         and jax.default_backend() == "tpu"
-        and jax.device_count() == 1  # multi-chip needs a shard_map wrapper
         and flat.shape[0] >= 1024
         and flat.shape[1] % 8 == 0
         and codebook.shape[0] % 128 == 0
     ):
-        return nearest_codes_pallas(flat, codebook)
+        return _nearest_codes_spmd(flat, codebook)
     from lightning_generative_models_tpu.models.modules.vector_quantizer import (
         nearest_code_indices,
     )

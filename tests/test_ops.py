@@ -100,3 +100,32 @@ def test_vq_pallas_kernel_matches_xla(rng):
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(ours))
     finally:
         vq_ops._INTERPRET = False
+
+
+def test_vq_spmd_kernel_sharded(rng):
+    """custom_partitioning runs the VQ kernel per batch shard on the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lightning_generative_models_tpu.models.modules.vector_quantizer import (
+        nearest_code_indices,
+    )
+    from lightning_generative_models_tpu.ops import vq as vq_ops
+    from lightning_generative_models_tpu.parallel import mesh as mesh_lib
+
+    vq_ops._INTERPRET = jax.default_backend() != "tpu"
+    try:
+        mesh = mesh_lib.create_mesh()
+        flat = jax.device_put(
+            jax.random.normal(jax.random.fold_in(rng, 1), (2048, 64)),
+            NamedSharding(mesh, P("data", None)),
+        )
+        cb = jax.device_put(
+            jax.random.normal(jax.random.fold_in(rng, 2), (512, 64)),
+            NamedSharding(mesh, P()),
+        )
+        out = jax.jit(vq_ops._nearest_codes_spmd)(flat, cb)
+        ref = nearest_code_indices(flat, cb)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        assert out.sharding.spec == P("data")
+    finally:
+        vq_ops._INTERPRET = False
