@@ -34,7 +34,7 @@ def _vq_kernel(z_ref, cb_ref, cb_sq_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
 def nearest_codes_pallas(
-    flat: jax.Array, codebook: jax.Array, block_n: int = 1024
+    flat: jax.Array, codebook: jax.Array, block_n: int = 2048
 ) -> jax.Array:
     """[N, D] latents x [K, D] codebook -> [N] int32 indices."""
     from jax.experimental import pallas as pl  # noqa: PLC0415
@@ -108,7 +108,7 @@ def nearest_codes(
     if (
         use_pallas
         and jax.default_backend() == "tpu"
-        and flat.shape[0] >= 1024
+        and 1024 <= flat.shape[0] <= 524288  # above ~512k XLA's fusion wins
         and flat.shape[1] % 8 == 0
         and codebook.shape[0] % 128 == 0
     ):
