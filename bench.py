@@ -141,6 +141,48 @@ def bench_ddim50(batch: int = 64, reps: int = 3, dim: int = 64, img: int = 32):
     return batch / float(np.median(times))
 
 
+def bench_dcgan_unrolled(steps: int = 12, batch: int = 128, unroll: int = 4):
+    """DCGAN throughput with the trainer's --unroll_steps 4 dispatch fusion."""
+    import functools
+
+    import jax
+
+    from lightning_generative_models_tpu.registry import load_model
+
+    model = load_model(
+        {
+            "name": "DCGAN",
+            "args": {"img_channels": 3, "img_size": 32, "latent_dim": 100,
+                     "lr": 2e-4, "b1": 0.5, "b2": 0.999, "weight_decay": 1e-5},
+        }
+    )
+    rng = jax.random.PRNGKey(0)
+    state = jax.jit(model.init_state)(rng)
+    rs = np.random.RandomState(0)
+    batch_np = {
+        "image": rs.randint(0, 256, size=(batch, 32, 32, 3), dtype=np.uint8),
+        "label": rs.randint(0, 10, size=batch).astype(np.int32),
+    }
+    batch_dev = jax.tree_util.tree_map(jax.device_put, batch_np)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step_fn(state, b, r):
+        m = None
+        for _ in range(unroll):
+            state, m = model.train_step(state, b, r)
+        return state, m
+
+    state = _run_chain(step_fn, state, batch_dev, rng, 3)
+    n1, n2 = max(steps // 5, 1), steps
+    t0 = time.perf_counter()
+    state = _run_chain(step_fn, state, batch_dev, rng, n1)
+    t1 = time.perf_counter()
+    _run_chain(step_fn, state, batch_dev, rng, n2)
+    t2 = time.perf_counter()
+    per_step = max(((t2 - t1) - (t1 - t0)) / ((n2 - n1) * unroll), 1e-9)
+    return batch / per_step
+
+
 def bench_ddpm_train(steps: int = 30, batch: int = 128):
     """DDPM CIFAR-10-shape training throughput (the FID-parity workload)."""
     import jax
@@ -179,7 +221,8 @@ def main():
 
     if args.only:
         fn = {"ddim50": lambda: bench_ddim50(),
-              "ddpm_train": lambda: bench_ddpm_train()}[args.only]
+              "ddpm_train": lambda: bench_ddpm_train(),
+              "dcgan_unroll4": lambda: bench_dcgan_unrolled()}[args.only]
         print(json.dumps({"value": fn()}))
         return 0
 
@@ -220,6 +263,7 @@ def main():
 
         timeboxed("ddim50_samples_per_sec", "ddim50")
         timeboxed("ddpm_train_images_per_sec", "ddpm_train")
+        timeboxed("dcgan_unroll4_images_per_sec", "dcgan_unroll4")
 
     print(
         json.dumps(
