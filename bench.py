@@ -24,7 +24,11 @@ import time
 
 import numpy as np
 
-A100_DCGAN_IMG_PER_SEC = 10_000.0  # documented estimate, see module docstring
+# FLOP-derived baselines for the reference's eager-PyTorch code on an A100
+# (derivation + measured step FLOPs: BASELINE.md "A100 baseline derivation";
+# reproduce the FLOP inputs with scripts/flops_report.py).
+A100_DCGAN_IMG_PER_SEC = 10_000.0
+A100_DDIM50_SAMPLES_PER_SEC = 120.0
 
 
 def _run_chain(step_fn, state, batch_dev, rng, n: int):
@@ -264,6 +268,10 @@ def main():
         timeboxed("ddim50_samples_per_sec", "ddim50")
         timeboxed("ddpm_train_images_per_sec", "ddpm_train")
         timeboxed("dcgan_unroll4_images_per_sec", "dcgan_unroll4")
+        if "ddim50_samples_per_sec" in extras:
+            extras["vs_baseline_ddim50"] = round(
+                extras["ddim50_samples_per_sec"] / A100_DDIM50_SAMPLES_PER_SEC, 3
+            )
 
     print(
         json.dumps(

@@ -45,6 +45,15 @@ def main(argv=None):
         "--label", type=int, default=None,
         help="class label for conditional models (CGAN/ACGAN)",
     )
+    parser.add_argument(
+        "--interpolate", type=int, default=0, metavar="N",
+        help="latent-blend two generated samples at N lambdas "
+        "(diffusion models; reference ddpm.py:847-867)",
+    )
+    parser.add_argument(
+        "--interpolate_t", type=int, default=None,
+        help="diffusion time for interpolation noising (default: T-1, full chain)",
+    )
     args = parser.parse_args(argv)
 
     config = load_config(args.config_path)
@@ -58,6 +67,26 @@ def main(argv=None):
     print(f"Restored {args.which} checkpoint at step {step} from {exp_dir}")
 
     sample_rng = jax.random.fold_in(rng, 1)
+    if args.interpolate:
+        if not hasattr(model, "interpolate"):
+            raise SystemExit(f"{type(model).__name__} does not support interpolate")
+        import jax.numpy as jnp
+
+        ends = jax.jit(model.sample, static_argnums=2)(state, sample_rng, 2)
+        x1 = jnp.broadcast_to(ends[0], (args.interpolate, *ends[0].shape))
+        x2 = jnp.broadcast_to(ends[1], (args.interpolate, *ends[1].shape))
+        lams = jnp.linspace(0.0, 1.0, args.interpolate)[:, None, None, None]
+        images = model.interpolate(
+            state, x1, x2, jax.random.fold_in(rng, 2),
+            t=args.interpolate_t, lam=lams,
+        )
+        images = np.asarray(jax.device_get(images))
+        out_dir = Path(args.out) if args.out else exp_dir / "generated"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        path = out_dir / f"interpolation_{args.which}_step{step}.png"
+        _write_png(path, make_grid(images, nrow=args.interpolate))
+        print(f"Wrote {path}")
+        return images
     if args.label is not None and hasattr(model, "sample_classes"):
         import jax.numpy as jnp
 

@@ -153,17 +153,57 @@ class InceptionV3(nn.Module):
         return features, logits
 
 
+#: Search order for a locally provided pytorch-fid / torchvision InceptionV3
+#: state_dict (this environment has no egress; drop the file at any of these).
+def weight_search_paths():
+    import os
+    from pathlib import Path
+
+    paths = []
+    env = os.environ.get("LGM_TPU_INCEPTION_WEIGHTS")
+    if env:
+        paths.append(Path(env))
+    repo_root = Path(__file__).resolve().parents[2]
+    paths += [
+        repo_root / "weights" / "pt_inception-2015-12-05.pth",
+        Path.home() / ".cache" / "lgm_tpu" / "pt_inception-2015-12-05.pth",
+    ]
+    return paths
+
+
+def find_pretrained_weights():
+    """First existing weights file from :func:`weight_search_paths`, or None."""
+    for p in weight_search_paths():
+        if p.exists():
+            return p
+    return None
+
+
 class InceptionFeatureExtractor:
-    """Jitted uint8 -> (features, logits) pipeline with torchmetrics parity."""
+    """Jitted uint8 -> (features, logits) pipeline with torchmetrics parity.
+
+    Weights resolution order: explicit ``params`` > a state_dict found at
+    :func:`weight_search_paths` (converted on the fly) > deterministic random
+    init (relative-tracking only, with a loud warning).
+    """
 
     def __init__(self, params: Optional[Any] = None, seed: int = 0):
         self.module = InceptionV3()
+        self.pretrained = params is not None
+        if params is None:
+            ckpt = find_pretrained_weights()
+            if ckpt is not None:
+                logger.info("Loading InceptionV3 weights from %s", ckpt)
+                params = load_torch_weights(str(ckpt))
+                self.pretrained = True
         if params is None:
             logger.warning(
                 "InceptionV3 weights unavailable (offline environment): using "
                 "deterministic random init. FID/KID/IS values are "
                 "self-consistent but NOT comparable to published numbers. "
-                "Provide a converted checkpoint via load_torch_weights()."
+                "Drop pt_inception-2015-12-05.pth at one of %s or set "
+                "LGM_TPU_INCEPTION_WEIGHTS.",
+                [str(p) for p in weight_search_paths()],
             )
             params = self.module.init(
                 jax.random.PRNGKey(seed), jnp.zeros((1, 299, 299, 3))

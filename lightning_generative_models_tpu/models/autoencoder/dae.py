@@ -89,13 +89,15 @@ class DAE(GenerativeModel):
         loss = jnp.mean((x_hat - x) ** 2)
         return loss, {"loss": loss}
 
-    def train_step(self, state: TrainState, batch: Batch, rng: jax.Array):
+    def grad_step(self, state: TrainState, batch: Batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         aug_rng, noise_rng = jax.random.split(rng)
         x01 = prepare_batch(batch, aug_rng, train=True)["image"]
-        grads, metrics = jax.grad(
-            lambda p: self._loss(p, x01, noise_rng), has_aux=True
-        )(state.params["model"])
+        return jax.grad(lambda p: self._loss(p, x01, noise_rng), has_aux=True)(
+            state.params["model"]
+        )
+
+    def apply_grad_step(self, state: TrainState, grads, metrics):
         updates, new_opt = self.optimizer.update(
             grads, state.opt_state["model"], state.params["model"]
         )
@@ -105,6 +107,9 @@ class DAE(GenerativeModel):
             opt_state={"model": new_opt},
         )
         return new_state, self.prefix_metrics(metrics, "train")
+
+    def train_step(self, state: TrainState, batch: Batch, rng: jax.Array):
+        return self.apply_grad_step(state, *self.grad_step(state, batch, rng))
 
     def eval_step(self, state: TrainState, batch: Batch, rng: jax.Array) -> Metrics:
         x01 = prepare_batch(batch, train=False)["image"]

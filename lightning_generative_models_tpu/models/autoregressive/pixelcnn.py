@@ -136,10 +136,12 @@ class PixelCNN(GenerativeModel):
         bits_per_dim = loss / jnp.log(2.0)
         return loss, {"loss": loss, "bits_per_dim": bits_per_dim}
 
-    def train_step(self, state: TrainState, batch: Batch, rng: jax.Array):
-        grads, metrics = jax.grad(
-            lambda p: self._loss(p, batch["image"]), has_aux=True
-        )(state.params["model"])
+    def grad_step(self, state: TrainState, batch: Batch, rng: jax.Array):
+        return jax.grad(lambda p: self._loss(p, batch["image"]), has_aux=True)(
+            state.params["model"]
+        )
+
+    def apply_grad_step(self, state: TrainState, grads, metrics):
         updates, new_opt = self.optimizer.update(
             grads, state.opt_state["model"], state.params["model"]
         )
@@ -149,6 +151,9 @@ class PixelCNN(GenerativeModel):
             opt_state={"model": new_opt},
         )
         return new_state, self.prefix_metrics(metrics, "train")
+
+    def train_step(self, state: TrainState, batch: Batch, rng: jax.Array):
+        return self.apply_grad_step(state, *self.grad_step(state, batch, rng))
 
     def eval_step(self, state: TrainState, batch: Batch, rng: jax.Array) -> Metrics:
         _, metrics = self._loss(state.params["model"], batch["image"])

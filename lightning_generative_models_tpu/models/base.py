@@ -60,6 +60,37 @@ class GenerativeModel:
     def sample(self, state: TrainState, rng: jax.Array, num_samples: int) -> jax.Array:
         raise NotImplementedError
 
+    # -- gradient accumulation (optional) -------------------------------------
+    # Single-optimizer models decompose train_step into grad_step (pure
+    # gradient evaluation, no state change) + apply_grad_step (optimizer /
+    # EMA / counter updates), so the Trainer can accumulate gradients over
+    # micro-batches in fixed memory with a lax.scan (reference: Lightning's
+    # accumulate_grad_batches, train.py:39,129). Invariant:
+    # ``train_step(s, b, r) == apply_grad_step(s, *grad_step(s, b, r))``.
+    def grad_step(self, state: TrainState, batch: Batch, rng: jax.Array):
+        raise NotImplementedError
+
+    def apply_grad_step(self, state: TrainState, grads, metrics):
+        raise NotImplementedError
+
+    def summary_spec(self):
+        """Optional ``{name: (module, example_args, apply_kwargs)}`` for
+        per-layer summaries (reference: torchinfo tables, gan.py:323-354).
+        The Trainer renders each through ``flax.linen.tabulate``."""
+        return {}
+
+    def validation_grids(
+        self, state: TrainState, rng: jax.Array
+    ) -> Dict[str, jax.Array]:
+        """Optional named sample grids logged every validation epoch.
+
+        Conditional models override this with structured grids (reference:
+        CGAN's per-class grid cgan.py:331-357, InfoGAN's code-transition grid
+        infogan.py:499-510). Returns ``{name: images[N,H,W,C] in [0,1]}``;
+        the Trainer lays each out with 8 images per row.
+        """
+        return {}
+
     # -- helpers -------------------------------------------------------------
     @staticmethod
     def to_model_space(x01: jax.Array) -> jax.Array:

@@ -110,10 +110,21 @@ class DDPM(GenerativeModel):
 
         return apply
 
+    def summary_spec(self):
+        """Per-layer UNet table (reference torchinfo summary, ddpm.py:1061-1094)."""
+        return {
+            "unet": (
+                self.unet,
+                (
+                    jnp.zeros((1, *self.image_shape())),
+                    jnp.zeros((1,), jnp.int32),
+                ),
+                {},
+            )
+        }
+
     # -- steps ------------------------------------------------------------------
-    def train_step(
-        self, state: TrainState, batch: Batch, rng: jax.Array
-    ) -> Tuple[TrainState, Metrics]:
+    def grad_step(self, state: TrainState, batch: Batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         aug_rng, loss_rng = jax.random.split(rng)
         x01 = prepare_batch(batch, aug_rng, train=True)["image"]
@@ -122,6 +133,9 @@ class DDPM(GenerativeModel):
             return self.diffusion.p_losses(self._apply_fn(params), x01, loss_rng)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params["model"])
+        return grads, {"loss": loss}
+
+    def apply_grad_step(self, state: TrainState, grads, metrics):
         updates, new_opt = self.optimizer.update(
             grads, state.opt_state["model"], state.params["model"]
         )
@@ -155,7 +169,12 @@ class DDPM(GenerativeModel):
             opt_state={"model": new_opt},
             ema_params=new_ema,
         )
-        return new_state, {"train_loss": loss}
+        return new_state, {"train_loss": metrics["loss"]}
+
+    def train_step(
+        self, state: TrainState, batch: Batch, rng: jax.Array
+    ) -> Tuple[TrainState, Metrics]:
+        return self.apply_grad_step(state, *self.grad_step(state, batch, rng))
 
     def eval_step(self, state: TrainState, batch: Batch, rng: jax.Array) -> Metrics:
         x01 = prepare_batch(batch, train=False)["image"]

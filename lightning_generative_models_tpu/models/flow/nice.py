@@ -139,12 +139,14 @@ class NICE(GenerativeModel):
         bits_per_dim = nll / (self.dim * jnp.log(2.0)) + 8.0  # dequant correction
         return nll, {"loss": nll, "bits_per_dim": bits_per_dim}
 
-    def train_step(self, state: TrainState, batch: Batch, rng: jax.Array):
+    def grad_step(self, state: TrainState, batch: Batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         x = self._flatten(batch["image"], rng)
-        grads, metrics = jax.grad(lambda p: self._nll(p, x), has_aux=True)(
+        return jax.grad(lambda p: self._nll(p, x), has_aux=True)(
             state.params["model"]
         )
+
+    def apply_grad_step(self, state: TrainState, grads, metrics):
         updates, new_opt = self.optimizer.update(
             grads, state.opt_state["model"], state.params["model"]
         )
@@ -154,6 +156,9 @@ class NICE(GenerativeModel):
             opt_state={"model": new_opt},
         )
         return new_state, self.prefix_metrics(metrics, "train")
+
+    def train_step(self, state: TrainState, batch: Batch, rng: jax.Array):
+        return self.apply_grad_step(state, *self.grad_step(state, batch, rng))
 
     def eval_step(self, state: TrainState, batch: Batch, rng: jax.Array) -> Metrics:
         x = self._flatten(batch["image"])

@@ -220,3 +220,15 @@ class ACGAN(GAN):
             state.params["G"], state.mutable["G"], z, labels, False
         )
         return self.to_image_space(x_hat)
+
+    def sample_classes(self, state: TrainState, rng: jax.Array, labels):
+        z = self.sample_z(rng, labels.shape[0])
+        x_hat, _ = self._generate_cond(
+            state.params["G"], state.mutable["G"], z, labels, False
+        )
+        return self.to_image_space(x_hat)
+
+    def validation_grids(self, state: TrainState, rng: jax.Array):
+        """Per-class grid: row r = 8 samples of class r (ref cgan.py:331-357 style)."""
+        labels = jnp.repeat(jnp.arange(self.num_classes), 8)
+        return {"per_class_generation": self.sample_classes(state, rng, labels)}

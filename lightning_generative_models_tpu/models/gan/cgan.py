@@ -223,3 +223,8 @@ class CGAN(GAN):
         z = self.sample_z(rng, labels.shape[0])
         x_hat = self._generate_cond(state.params["G"], z, labels, False)
         return self.to_image_space(x_hat)
+
+    def validation_grids(self, state: TrainState, rng: jax.Array):
+        """Per-class grid: row r = 8 samples of class r (ref cgan.py:331-357)."""
+        labels = jnp.repeat(jnp.arange(self.num_classes), 8)
+        return {"per_class_generation": self.sample_classes(state, rng, labels)}

@@ -103,6 +103,13 @@ class GAN(GenerativeModel):
     def _latent_shape(self, batch_size: int) -> Tuple[int, ...]:
         return (batch_size, self.latent_dim)
 
+    def summary_spec(self):
+        """Per-layer G/D tables (reference torchinfo summaries, gan.py:323-354)."""
+        return {
+            "G": (self.G, (jnp.zeros(self._latent_shape(1)),), {"train": False}),
+            "D": (self.D, (jnp.zeros((1, *self.image_shape())),), {"train": False}),
+        }
+
     # State ------------------------------------------------------------------
     def init_state(self, rng: jax.Array) -> TrainState:
         g_rng, d_rng = jax.random.split(rng)

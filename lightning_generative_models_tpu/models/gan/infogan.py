@@ -289,3 +289,9 @@ class InfoGAN(GAN):
             state.params["G"], state.mutable["G"], z, cat, cont, False
         )
         return self.to_image_space(x_hat)
+
+    def validation_grids(self, state: TrainState, rng: jax.Array):
+        """Structured code-transition grid: rows step the categorical code,
+        columns interpolate the continuous codes (ref infogan.py:499-510)."""
+        n = self.categorical_code_dim * 8
+        return {"code_transition": self.sample(state, rng, n)}

@@ -118,22 +118,26 @@ class VAE(GenerativeModel):
         return loss, {"loss": loss, "recon_loss": recon_loss, "kld": kld}
 
     # -- steps ----------------------------------------------------------
-    def train_step(
-        self, state: TrainState, batch: Batch, rng: jax.Array
-    ) -> Tuple[TrainState, Metrics]:
+    def grad_step(self, state: TrainState, batch: Batch, rng: jax.Array):
         aug_rng, z_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         x01 = prepare_batch(batch, aug_rng, train=True)["image"]
-        grads, metrics = jax.grad(self._loss, has_aux=True)(state.params, x01, z_rng)
+        return jax.grad(self._loss, has_aux=True)(state.params, x01, z_rng)
+
+    def apply_grad_step(self, state: TrainState, grads, metrics):
         updates, new_opt = self.optimizer.update(
             grads, state.opt_state["model"], state.params
         )
-        new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1,
-            params=new_params,
+            params=optax.apply_updates(state.params, updates),
             opt_state={"model": new_opt},
         )
         return new_state, self.prefix_metrics(metrics, "train")
+
+    def train_step(
+        self, state: TrainState, batch: Batch, rng: jax.Array
+    ) -> Tuple[TrainState, Metrics]:
+        return self.apply_grad_step(state, *self.grad_step(state, batch, rng))
 
     def eval_step(self, state: TrainState, batch: Batch, rng: jax.Array) -> Metrics:
         x01 = prepare_batch(batch, train=False)["image"]

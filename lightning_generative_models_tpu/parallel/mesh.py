@@ -65,13 +65,39 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_local_slice(
+    x: np.ndarray,
+    batch_axis: int = 0,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> np.ndarray:
+    """This process's contiguous slice of a global batch.
+
+    The reference divides the batch size by world size and lets the
+    DistributedSampler pick per-rank rows (reference data/datamodule.py:33);
+    here every host materializes the same seeded global batch and contributes
+    rows ``[p*B/n, (p+1)*B/n)`` — deterministic, no sampler state.
+    """
+    p = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    size = x.shape[batch_axis]
+    if size % n != 0:
+        raise ValueError(f"global batch {size} not divisible by {n} processes")
+    per = size // n
+    idx = [slice(None)] * x.ndim
+    idx[batch_axis] = slice(p * per, (p + 1) * per)
+    return x[tuple(idx)]
+
+
 def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
     """Place a (possibly nested) host batch on device, sharded on the batch dim.
 
     Replaces the reference's per-process batch division
     (data/datamodule.py:33): here the *global* batch array is laid out across
     the mesh's data axis, so per-device batch = global / n_devices without any
-    manual bookkeeping.
+    manual bookkeeping. Multi-host: each process feeds only its
+    :func:`process_local_slice` of the global batch (every host's DataModule
+    yields the identical seeded global batch).
     """
 
     multi_host = jax.process_count() > 1
@@ -82,8 +108,10 @@ def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
             return jax.device_put(x, replicated_sharding(mesh))
         sharding = batch_sharding(mesh, x.ndim, batch_axis)
         if multi_host:
-            # Each host feeds its local slice of the global batch.
-            return jax.make_array_from_process_local_data(sharding, x)
+            local = process_local_slice(x, batch_axis)
+            return jax.make_array_from_process_local_data(
+                sharding, local, global_shape=x.shape
+            )
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_place, batch)

@@ -34,20 +34,32 @@ class CheckpointManager:
         self.monitor = monitor
         self.best_value = np.inf
         self._checkpointer = ocp.StandardCheckpointer()
-        meta = self._meta_path()
-        if meta.exists():
-            with open(meta) as f:
-                self.best_value = json.load(f).get("best_value", np.inf)
+        meta = self._read_meta("best") or self._read_meta("last")
+        if meta:
+            self.best_value = meta.get("best_value", np.inf)
 
-    def _meta_path(self) -> Path:
-        return self.directory / "checkpoint_meta.json"
+    def _meta_path(self, which: str) -> Path:
+        # Per-checkpoint metadata: 'best' and 'last' each carry the step/epoch
+        # that match their own weights (a shared file would make restore('best')
+        # resume with whatever counters the most recent save_last wrote).
+        return self.directory / f"checkpoint_meta_{which}.json"
 
-    def _write_meta(self, step: int, epoch: int) -> None:
-        with open(self._meta_path(), "w") as f:
+    def _read_meta(self, which: str) -> dict | None:
+        path = self._meta_path(which)
+        if not path.exists():
+            # Legacy single-file layout from older runs.
+            path = self.directory / "checkpoint_meta.json"
+            if not path.exists():
+                return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_meta(self, which: str, step: int, epoch: int) -> None:
+        with open(self._meta_path(which), "w") as f:
             json.dump(
                 {
-                    "last_step": int(step),
-                    "last_epoch": int(epoch),
+                    "step": int(step),
+                    "epoch": int(epoch),
                     "monitor": self.monitor,
                     "best_value": float(self.best_value),
                 },
@@ -58,7 +70,7 @@ class CheckpointManager:
         path = self.directory / "last"
         self._checkpointer.save(path, state, force=True)
         self._checkpointer.wait_until_finished()
-        self._write_meta(step, epoch)
+        self._write_meta("last", step, epoch)
 
     def maybe_save_best(
         self, state: Any, step: int, epoch: int, metrics: dict
@@ -71,7 +83,7 @@ class CheckpointManager:
             self.best_value = value
             self._checkpointer.save(self.directory / "best", state, force=True)
             self._checkpointer.wait_until_finished()
-            self._write_meta(step, epoch)
+            self._write_meta("best", step, epoch)
             logger.info("New best %s=%.6f at step %d", self.monitor, value, step)
             return True
         return False
@@ -85,11 +97,9 @@ class CheckpointManager:
             raise FileNotFoundError(f"No checkpoint at {path}")
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template_state)
         state = self._checkpointer.restore(path, abstract)
-        step, epoch = 0, 0
-        if self._meta_path().exists():
-            with open(self._meta_path()) as f:
-                meta = json.load(f)
-            step, epoch = meta.get("last_step", 0), meta.get("last_epoch", 0)
+        meta = self._read_meta(which) or {}
+        step = meta.get("step", meta.get("last_step", 0))
+        epoch = meta.get("epoch", meta.get("last_epoch", 0))
         return state, step, epoch
 
     def has_checkpoint(self, which: str = "last") -> bool:

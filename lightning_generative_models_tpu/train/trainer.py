@@ -57,6 +57,7 @@ class Trainer:
         seed: int = 10,
         profile_steps: Optional[tuple[int, int]] = None,
         unroll_steps: int = 1,
+        grad_accum_mode: str = "auto",
     ):
         self.model = model
         self.datamodule = datamodule
@@ -83,6 +84,14 @@ class Trainer:
             )
             self.accumulate_grad_batches = 1
 
+        # Grad-accum strategy: "concat" runs one step on the k-merged batch
+        # (mathematically identical for mean losses, fastest on the MXU, but
+        # k× activation memory); "scan" sums per-micro-batch gradients in a
+        # lax.scan (fixed memory — the actual point of accumulate_grad_batches).
+        # "auto" picks scan when the model exposes grad_step AND the merged
+        # batch is large enough that activation memory plausibly matters.
+        self.grad_accum_mode = self._resolve_accum_mode(grad_accum_mode)
+
         self.ckpt = CheckpointManager(
             self.experiment_dir / "checkpoints", monitor=model.monitor
         )
@@ -93,7 +102,13 @@ class Trainer:
         # batches) into one dispatch — ~20% faster for dispatch-bound small
         # models on tunneled backends; identical math, coarser logging.
         self.unroll_steps = max(int(unroll_steps), 1)
-        if self.unroll_steps > 1:
+        if self.grad_accum_mode == "scan" and self.unroll_steps > 1:
+            raise ValueError("unroll_steps>1 is incompatible with scan grad-accum")
+        if self.grad_accum_mode == "scan":
+            self._train_step = jax.jit(
+                self._make_scan_accum_step(), donate_argnums=0
+            )
+        elif self.unroll_steps > 1:
 
             def _unrolled(state, stacked, rng):
                 metrics = None
@@ -107,6 +122,13 @@ class Trainer:
             self._train_step = jax.jit(model.train_step, donate_argnums=0)
         self._eval_step = jax.jit(model.eval_step)
         self._sample = jax.jit(model.sample, static_argnums=2)
+        from lightning_generative_models_tpu.models.base import GenerativeModel
+
+        self._val_grids = (
+            jax.jit(model.validation_grids)
+            if type(model).validation_grids is not GenerativeModel.validation_grids
+            else None
+        )
 
         self._should_stop = False
         self._interrupted = False
@@ -143,9 +165,71 @@ class Trainer:
         return state
 
     # -- internals -----------------------------------------------------------
+    def _resolve_accum_mode(self, mode: str) -> str:
+        if mode not in ("auto", "concat", "scan"):
+            raise ValueError(f"grad_accum_mode must be auto|concat|scan, got {mode}")
+        if self.accumulate_grad_batches <= 1:
+            return "concat"
+        from lightning_generative_models_tpu.models.base import GenerativeModel
+
+        has_grad_step = (
+            type(self.model).grad_step is not GenerativeModel.grad_step
+        )
+        if mode == "scan":
+            if not has_grad_step:
+                raise ValueError(
+                    f"{type(self.model).__name__} does not implement grad_step; "
+                    "scan grad-accum requires the grad_step/apply_grad_step "
+                    "protocol (use concat)."
+                )
+            return "scan"
+        if mode == "auto" and has_grad_step:
+            # Scan only when the merged batch's image tensor alone is big
+            # enough (>=256 MB) that activation memory plausibly matters;
+            # otherwise concat is identical math and faster (one big MXU
+            # batch, no sequential dependency).
+            shape = self.model.image_shape()
+            merged_bytes = (
+                self.accumulate_grad_batches
+                * self.datamodule.batch_size
+                * int(np.prod(shape))
+                * 4
+            )
+            if merged_bytes >= 256 * 1024**2:
+                return "scan"
+        return "concat"
+
+    def _make_scan_accum_step(self):
+        """Fixed-memory gradient accumulation: sum per-micro-batch grads in a
+        lax.scan, then apply one optimizer step on the mean (reference:
+        Lightning accumulate_grad_batches, train.py:39,129). Peak activation
+        memory is one micro-batch instead of the concat path's k×."""
+        import jax.numpy as jnp
+
+        model = self.model
+        k = self.accumulate_grad_batches
+
+        def step(state, stacked, rng):
+            micro0 = jax.tree_util.tree_map(lambda x: x[0], stacked)
+            shapes = jax.eval_shape(model.grad_step, state, micro0, rng)
+            zeros = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes
+            )
+
+            def body(carry, xs):
+                i, micro = xs
+                out = model.grad_step(state, micro, jax.random.fold_in(rng, i))
+                return jax.tree_util.tree_map(jnp.add, carry, out), None
+
+            sums, _ = jax.lax.scan(body, zeros, (jnp.arange(k), stacked))
+            grads, metrics = jax.tree_util.tree_map(lambda x: x / k, sums)
+            return model.apply_grad_step(state, grads, metrics)
+
+        return step
+
     def _log_model_summary(self, state: Any) -> None:
-        """Per-group parameter counts (reference: torchinfo summaries at
-        construction, gan.py:323-354)."""
+        """Per-group counts + per-layer tables (reference: torchinfo summaries
+        at construction, gan.py:323-354, ddpm.py:1061-1094)."""
         from lightning_generative_models_tpu.train.state import count_params
 
         lines = []
@@ -161,6 +245,28 @@ class Trainer:
             type(self.model).__name__, "\n".join(lines), f"{total:,}",
         )
 
+        if not getattr(self.model, "summary", True):
+            return
+        from lightning_generative_models_tpu.utils.summary import (
+            module_table,
+            param_table,
+        )
+
+        logger.info("parameter table:\n%s", param_table(state.params))
+        try:
+            # FLOP columns lower each submodule through XLA cost analysis —
+            # cheap on CPU, but remote-compile-bound on tunneled TPU backends,
+            # so only computed when the backend is local.
+            flops = jax.default_backend() == "cpu"
+            for name, (module, args, kwargs) in self.model.summary_spec().items():
+                logger.info(
+                    "%s summary:\n%s",
+                    name,
+                    module_table(module, args, compute_flops=flops, **kwargs),
+                )
+        except Exception as e:  # summaries must never kill training
+            logger.warning("module tabulate failed: %s", e)
+
     def _handle_sigterm(self, signum, frame):  # pragma: no cover - signal path
         logger.warning("SIGTERM received; will checkpoint and stop.")
         self._should_stop = True
@@ -173,11 +279,19 @@ class Trainer:
             steps = self.datamodule.steps_per_epoch("train")
             eff = max(steps // self.accumulate_grad_batches, 1)
             return int(np.ceil(self.max_steps / eff))
-        return 1000  # effectively "until max_steps/SIGTERM"
+        logger.warning(
+            "Neither max_epochs nor max_steps set: training runs for 1000 "
+            "epochs (Lightning's default) or until SIGTERM."
+        )
+        return 1000
 
     def _train_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         it = self.datamodule.train_batches(epoch)
         if self.accumulate_grad_batches > 1:
+            if self.grad_accum_mode == "scan":
+                # Stacked [k, B, ...] micro-batches shard on axis 1.
+                it = _stack_batches(it, self.accumulate_grad_batches)
+                return prefetch_to_device(it, self.mesh, batch_axis=1)
             it = _concat_batches(it, self.accumulate_grad_batches)
         if self.unroll_steps > 1:
             # Stacked [k, B, ...] batches shard on axis 1 (the batch dim).
@@ -187,32 +301,46 @@ class Trainer:
 
     def _fit_loop(self, state: Any, start_epoch: int) -> Any:
         step_times: List[float] = []
-        images_per_step = self.datamodule.batch_size * self.accumulate_grad_batches
+        # One dispatch consumes unroll_steps batches of accumulate_grad_batches
+        # micro-batches each.
+        images_per_step = (
+            self.datamodule.batch_size
+            * self.accumulate_grad_batches
+            * self.unroll_steps
+        )
+
+        def crossed(n: int, prev: int, cur: int) -> bool:
+            # Cadence check robust to global_step advancing by unroll_steps>1
+            # (exact modulo would never fire when n % unroll_steps != 0).
+            return n > 0 and prev // n != cur // n
 
         for epoch in range(start_epoch, self._max_epochs()):
             self.epoch = epoch
             for batch in self._train_batches(epoch):
-                if self.profile_steps and self.global_step == self.profile_steps[0]:
+                if self.profile_steps and self.global_step >= self.profile_steps[0] \
+                        and not getattr(self, "_tracing", False):
                     jax.profiler.start_trace(str(self.experiment_dir / "profile"))
+                    self._tracing = True
                 t0 = time.perf_counter()
                 state, metrics = self._train_step(state, batch, self._run_rng)
-                is_last = self.max_steps > 0 and self.global_step + 1 >= self.max_steps
-                if self.global_step % self.log_every_n_steps == 0 or is_last:
+                prev_step = self.global_step
+                self.global_step += self.unroll_steps
+                is_last = self.max_steps > 0 and self.global_step >= self.max_steps
+                if crossed(self.log_every_n_steps, prev_step, self.global_step) \
+                        or prev_step == 0 or is_last:
                     # Sync point only on logging steps.
                     metrics = {k: float(v) for k, v in metrics.items()}
                     dt = time.perf_counter() - t0
                     step_times.append(dt)
                     metrics["images_per_sec"] = images_per_step / max(dt, 1e-9)
                     metrics["epoch"] = epoch
-                    self.logger.log_metrics(metrics, self.global_step)
-                if self.profile_steps and self.global_step == self.profile_steps[1]:
+                    self.logger.log_metrics(metrics, prev_step)
+                if self.profile_steps and getattr(self, "_tracing", False) \
+                        and self.global_step > self.profile_steps[1]:
                     jax.profiler.stop_trace()
+                    self._tracing = False
 
-                self.global_step += self.unroll_steps
-                if (
-                    self.sample_every_n_steps
-                    and self.global_step % self.sample_every_n_steps == 0
-                ):
+                if crossed(self.sample_every_n_steps, prev_step, self.global_step):
                     self._log_samples(state)
                 if self.max_steps > 0 and self.global_step >= self.max_steps:
                     self._should_stop = True
@@ -224,7 +352,10 @@ class Trainer:
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
                 val_metrics = self._validate(state)
                 self.ckpt.maybe_save_best(state, self.global_step, epoch, val_metrics)
-                self.ckpt.save_last(state, self.global_step, epoch)
+                # Epoch-boundary save: resume starts at the NEXT epoch (the
+                # mid-epoch SIGTERM/finally save keeps the current epoch so an
+                # interrupted epoch is retried).
+                self.ckpt.save_last(state, self.global_step, epoch + 1)
 
         self._validate(state)
         return state
@@ -232,9 +363,13 @@ class Trainer:
     def _validate(self, state: Any) -> Dict[str, float]:
         sums: Dict[str, float] = {}
         count = 0
-        rng = jax.random.fold_in(self._run_rng, 0x57A7)
+        val_rng = jax.random.fold_in(self._run_rng, 0x57A7)
         gen_metrics = self._generative_metrics()
         for batch in prefetch_to_device(self.datamodule.val_batches(), self.mesh):
+            # Distinct key per batch: without the fold_in every generated
+            # "fake" batch is bit-identical and the FID/KID covariance is
+            # computed over N copies of one batch (rank-deficient, wrong).
+            rng = jax.random.fold_in(val_rng, count)
             metrics = self._eval_step(state, batch, rng)
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
@@ -248,8 +383,19 @@ class Trainer:
             means.update(self._compute_generative_metrics(gen_metrics))
         self.logger.log_metrics(means, self.global_step)
         self._log_samples(state)
+        self._log_conditional_grids(state)
         self._log_tables(state)
         return means
+
+    def _log_conditional_grids(self, state: Any) -> None:
+        """Structured grids for conditional models (reference cgan.py:331-357,
+        infogan.py:499-510): per-class rows / code transitions every val epoch."""
+        if self._val_grids is None:
+            return
+        grids = self._val_grids(state, jax.random.fold_in(self._run_rng, 2))
+        for name, images in grids.items():
+            grid = make_grid(np.asarray(jax.device_get(images)), nrow=8)
+            self.logger.log_image(name, grid, self.global_step)
 
     def _log_tables(self, state: Any) -> None:
         """Latent / codebook tables (reference vae.py:228-241,

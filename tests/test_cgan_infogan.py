@@ -113,3 +113,36 @@ def test_infogan_structured_codes(rng):
     c = np.asarray(cont)
     deltas = np.diff(c, axis=0)
     assert np.all(deltas * deltas[0] >= -1e-6)
+
+
+def test_conditional_validation_grids(rng, tmp_path):
+    """CGAN logs a per-class grid and InfoGAN a code-transition grid at
+    validation (reference cgan.py:331-357, infogan.py:499-510)."""
+    import numpy as np
+
+    from lightning_generative_models_tpu.data.datamodule import DataModule
+    from lightning_generative_models_tpu.registry import load_model
+    from lightning_generative_models_tpu.train.trainer import Trainer
+
+    for name, grid_name in (
+        ("CGAN", "per_class_generation"),
+        ("InfoGAN", "code_transition"),
+    ):
+        model = load_model(
+            {"name": name, "args": {"img_channels": 1, "img_size": 28}}
+        )
+        dm = DataModule(
+            name="MNIST", img_size=28, img_channels=1, batch_size=8,
+            synthetic_size=80,
+        )
+        exp = tmp_path / name
+        t = Trainer(
+            model, dm, exp, max_steps=1, log_every_n_steps=1,
+            sample_every_n_steps=0, check_val_every_n_epoch=1,
+        )
+        assert t._val_grids is not None
+        t.fit()
+        pngs = [p.name for p in (exp / "images").glob("*.png")] + [
+            p.name for p in exp.rglob("*.png")
+        ]
+        assert any(grid_name in p for p in pngs), (name, pngs)

@@ -143,3 +143,18 @@ def test_inception_weight_conversion_matches_torch(tmp_path):
     np.testing.assert_allclose(
         np.asarray(logits), tlogits.numpy(), rtol=1e-3, atol=1e-3
     )
+
+
+@pytest.mark.slow
+def test_fid_pipeline_parity_torch_vs_jax():
+    """Golden FID-parity gate: the torch pipeline (torchvision-layout model +
+    torchmetrics ingestion/formula) and this framework's pipeline must produce
+    the same FID on a fixed 64-image set through the validated weight
+    converter (reference metric mechanism: gan.py:132-241). This is the
+    offline-provable half of BASELINE.md's FID-parity north star; absolute
+    parity additionally needs the pt_inception checkpoint dropped in
+    (see metrics/verify.py)."""
+    from lightning_generative_models_tpu.metrics import verify
+
+    fid = verify.verify_converter_path(tol=0.5)
+    assert np.isfinite(fid)

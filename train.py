@@ -72,6 +72,13 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
         default=None,
         help="start:stop step range to capture a jax.profiler trace",
     )
+    parser.add_argument(
+        "--grad_accum_mode", type=str, default="auto",
+        choices=("auto", "concat", "scan"),
+        help="accumulate_grad_batches strategy: concat merges micro-batches "
+        "(exact, k x activation memory), scan sums micro-batch grads in "
+        "fixed memory; auto picks by memory heuristic",
+    )
 
     # Logging configurations (reference train.py:44-66)
     parser.add_argument(
@@ -172,6 +179,7 @@ def main(argv=None):
         profile_steps=profile_steps,
         unroll_steps=args.unroll_steps,
         sample_every_n_steps=args.sample_every_n_steps,
+        grad_accum_mode=args.grad_accum_mode,
     )
     state = trainer.fit(ckpt_path=args.ckpt_path, resume=args.resume)
     exp_logger.finish()
