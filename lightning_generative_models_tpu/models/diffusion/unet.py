@@ -188,9 +188,12 @@ class UNet(nn.Module):
             if full_attn[stage]:
                 return Attention(
                     dim, heads=heads[stage], dim_head=dim_heads[stage],
-                    flash=self.flash_attn,
+                    flash=self.flash_attn, dtype=self.dtype,
                 )
-            return LinearAttention(dim, heads=heads[stage], dim_head=dim_heads[stage])
+            return LinearAttention(
+                dim, heads=heads[stage], dim_head=dim_heads[stage],
+                dtype=self.dtype,
+            )
 
         skips = []
         for stage, (dim_in, dim_out) in enumerate(in_out):
@@ -208,7 +211,8 @@ class UNet(nn.Module):
         mid_dim = dims[-1]
         x = ResnetBlock(mid_dim, self.resnet_block_groups, self.dtype)(x, t)
         x = Attention(
-            mid_dim, heads=heads[-1], dim_head=dim_heads[-1], flash=self.flash_attn
+            mid_dim, heads=heads[-1], dim_head=dim_heads[-1],
+            flash=self.flash_attn, dtype=self.dtype,
         )(x) + x
         x = ResnetBlock(mid_dim, self.resnet_block_groups, self.dtype)(x, t)
 

@@ -1,4 +1,4 @@
-"""Attention blocks for the diffusion UNet (NHWC).
+"""Attention blocks for the diffusion UNet (NHWC, TPU-first).
 
 Parity with the reference (reference:
 models/generative/diffusion/ddpm.py:107-113, 203-271 and
@@ -9,6 +9,18 @@ switch becomes a dispatch to the Pallas TPU kernel in ops/attention.py for
 long sequences, with a plain fused-XLA softmax attention otherwise (at the
 reference's resolutions the sequence is <= 64 tokens, far below flash
 break-even).
+
+TPU design (round-2 rewrite — attention was 43% of UNet forward time):
+- token-major [b, n, heads, d] layout everywhere: the feature dim stays in
+  the lane dimension and memory-KV concatenation happens on the sublane
+  (token) axis, so no 128-lane padding (the old [b,h,d,n] layout padded
+  n=1028 -> 1152) and no big relayout transposes;
+- compute in the UNet's dtype (bf16 on TPU) with f32 softmax statistics and
+  f32 matmul accumulation (``preferred_element_type``);
+- RMSNorm statistics always in f32 regardless of activation dtype.
+
+Parameter shapes and names are unchanged from round 1 (same ``nn.Conv``
+projections, same ``mem_kv`` shapes), so checkpoints stay loadable.
 """
 
 from __future__ import annotations
@@ -21,15 +33,21 @@ from lightning_generative_models_tpu.ops.attention import scaled_dot_product_att
 
 
 class RMSNorm(nn.Module):
-    """Channel RMSNorm over the last (feature) axis (ddpm.py:107-113)."""
+    """Channel RMSNorm over the last (feature) axis (ddpm.py:107-113).
+
+    Statistics in f32; result cast back to the input dtype.
+    """
 
     dim: int
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         g = self.param("g", nn.initializers.ones, (self.dim,))
-        normed = x * jax.lax.rsqrt(jnp.sum(x**2, axis=-1, keepdims=True) + 1e-12)
-        return normed * g * (self.dim**0.5)
+        x32 = x.astype(jnp.float32)
+        normed = x32 * jax.lax.rsqrt(
+            jnp.sum(x32**2, axis=-1, keepdims=True) + 1e-12
+        )
+        return (normed * g * (self.dim**0.5)).astype(x.dtype)
 
 
 class LinearAttention(nn.Module):
@@ -39,37 +57,52 @@ class LinearAttention(nn.Module):
     heads: int = 4
     dim_head: int = 32
     num_mem_kv: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
         n = h * w
-        hidden = self.heads * self.dim_head
+        hd = self.heads * self.dim_head
 
-        x = RMSNorm(self.dim)(x)
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False)(x)
+        x = RMSNorm(self.dim)(x.astype(self.dtype))
+        qkv = nn.Conv(hd * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 3, 1) for i in range(3))  # [b,H,d,n]
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, d]
 
+        # Same param shape as round 1 / the reference: [2, heads, d, m].
         mem = self.param(
             "mem_kv",
             nn.initializers.normal(1.0),
             (2, self.heads, self.dim_head, self.num_mem_kv),
         )
+        # [2, h, d, m] -> [m, h, d]; concat on the token (sublane) axis.
         mk, mv = (
-            jnp.broadcast_to(mem[i], (b, *mem[i].shape)) for i in range(2)
+            jnp.broadcast_to(
+                mem[i].transpose(2, 0, 1)[None].astype(self.dtype),
+                (b, self.num_mem_kv, self.heads, self.dim_head),
+            )
+            for i in range(2)
         )
-        k = jnp.concatenate([mk, k], axis=-1)
-        v = jnp.concatenate([mv, v], axis=-1)
+        k = jnp.concatenate([mk, k], axis=1)
+        v = jnp.concatenate([mv, v], axis=1)
 
-        q = jax.nn.softmax(q, axis=-2) * (self.dim_head**-0.5)
-        k = jax.nn.softmax(k, axis=-1)
+        # f32 softmax statistics (q over features, k over tokens incl. mem).
+        q = jax.nn.softmax(q.astype(jnp.float32), axis=-1) * (self.dim_head**-0.5)
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1)
+        q = q.astype(self.dtype)
+        k = k.astype(self.dtype)
 
-        # context[d,e] = sum_n k[d,n] v[e,n]  -> two small MXU matmuls per head
-        context = jnp.einsum("bhdn,bhen->bhde", k, v)
-        out = jnp.einsum("bhde,bhdn->bhen", context, q)
-        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden)
-        out = nn.Conv(self.dim, (1, 1))(out)
+        # context[d, e] = sum_n k[n, d] v[n, e] — per-head MXU matmuls with
+        # f32 accumulation; token axis contracted, feature dims stay in lanes.
+        context = jnp.einsum(
+            "bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+        out = jnp.einsum(
+            "bhde,bnhd->bnhe", context, q, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+        out = out.reshape(b, h, w, hd)
+        out = nn.Conv(self.dim, (1, 1), dtype=self.dtype)(out)
         return RMSNorm(self.dim)(out)
 
 
@@ -81,29 +114,56 @@ class Attention(nn.Module):
     dim_head: int = 32
     num_mem_kv: int = 4
     flash: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
         n = h * w
-        hidden = self.heads * self.dim_head
+        hd = self.heads * self.dim_head
 
-        x = RMSNorm(self.dim)(x)
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False)(x)
+        x = RMSNorm(self.dim)(x.astype(self.dtype))
+        qkv = nn.Conv(hd * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # [b,H,n,d]
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, d]
 
+        # Same param shape as round 1 / the reference: [2, heads, m, d].
         mem = self.param(
             "mem_kv",
             nn.initializers.normal(1.0),
             (2, self.heads, self.num_mem_kv, self.dim_head),
         )
         mk, mv = (
-            jnp.broadcast_to(mem[i], (b, *mem[i].shape)) for i in range(2)
+            jnp.broadcast_to(
+                mem[i].transpose(1, 0, 2)[None].astype(self.dtype),
+                (b, self.num_mem_kv, self.heads, self.dim_head),
+            )
+            for i in range(2)
         )
-        k = jnp.concatenate([mk, k], axis=-2)
-        v = jnp.concatenate([mv, v], axis=-2)
+        k = jnp.concatenate([mk, k], axis=1)
+        v = jnp.concatenate([mv, v], axis=1)
 
-        out = scaled_dot_product_attention(q, k, v, use_pallas=self.flash)
-        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hidden)
-        return nn.Conv(self.dim, (1, 1))(out)
+        n_kv = k.shape[1]
+        if self.flash and n_kv >= 256:
+            # Long sequences: Pallas flash kernel ([b, heads, n, d] layout).
+            out = scaled_dot_product_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                use_pallas=True,
+            ).transpose(0, 2, 1, 3)
+        else:
+            # Reference resolutions: <= 64 + mem tokens. One fused XLA
+            # program, f32 logits/softmax, token axes in sublanes.
+            scale = self.dim_head**-0.5
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd", weights, v,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+
+        out = out.reshape(b, h, w, hd)
+        return nn.Conv(self.dim, (1, 1), dtype=self.dtype)(out)

@@ -23,6 +23,38 @@ jax.config.update("jax_threefry_partitionable", True)
 import pytest  # noqa: E402
 
 
+# Curated <5-minute gate on a single CPU core (measured per-file timings in
+# round 2): core math goldens, optimizer parity, ops kernels, data layer,
+# config/registry, native C++ path, VAE + GAN model families, grad-accum
+# equivalence. The diffusion/trainer/distributed/e2e files compile large
+# programs and stay in the full run.
+QUICK_FILES = {
+    "test_config_registry.py",
+    "test_data.py",
+    "test_metrics.py",
+    "test_native.py",
+    "test_ops.py",
+    "test_optim_parity.py",
+    "test_vae.py",
+    "test_gan_family.py",
+    "test_grad_accum.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-apply the ``quick`` marker to the curated fast gate subset.
+
+    ``pytest -m quick`` is the documented <5-minute CI gate (single CPU
+    core); the full suite (default invocation) runs everything including
+    the 31-config e2e matrix.
+    """
+    for item in items:
+        if "slow" in item.keywords:
+            continue
+        if item.fspath.basename in QUICK_FILES:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(0)

@@ -129,3 +129,78 @@ def test_vq_spmd_kernel_sharded(rng):
         assert out.sharding.spec == P("data")
     finally:
         vq_ops._INTERPRET = False
+
+
+# -- UNet attention modules: token-major layout vs naive reference ----------
+
+def _naive_linear_attention(x, params, heads=4, dim_head=32):
+    """Round-1 [b,h,d,n] formulation of lucidrains linear attention
+    (reference ddpm.py:203-239), run in f32 on the same parameters."""
+    b, hh, ww, c = x.shape
+    n = hh * ww
+    g0 = params["RMSNorm_0"]["g"]
+    xn = x * jax.lax.rsqrt(jnp.sum(x**2, -1, keepdims=True) + 1e-12)
+    xn = xn * g0 * (c**0.5)
+    w_qkv = params["Conv_0"]["kernel"][0, 0]  # [c, 3*h*d]
+    qkv = (xn.reshape(b, n, c) @ w_qkv).reshape(b, n, 3, heads, dim_head)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 3, 1) for i in range(3))  # [b,h,d,n]
+    mem = params["mem_kv"]
+    mk = jnp.broadcast_to(mem[0], (b, *mem[0].shape))
+    mv = jnp.broadcast_to(mem[1], (b, *mem[1].shape))
+    k = jnp.concatenate([mk, k], axis=-1)
+    v = jnp.concatenate([mv, v], axis=-1)
+    q = jax.nn.softmax(q, axis=-2) * (dim_head**-0.5)
+    k = jax.nn.softmax(k, axis=-1)
+    context = jnp.einsum("bhdn,bhen->bhde", k, v)
+    out = jnp.einsum("bhde,bhdn->bhen", context, q)
+    out = out.transpose(0, 3, 1, 2).reshape(b, hh, ww, heads * dim_head)
+    out = out @ params["Conv_1"]["kernel"][0, 0] + params["Conv_1"]["bias"]
+    g1 = params["RMSNorm_1"]["g"]
+    on = out * jax.lax.rsqrt(jnp.sum(out**2, -1, keepdims=True) + 1e-12)
+    return on * g1 * (out.shape[-1] ** 0.5)
+
+
+def _naive_full_attention(x, params, heads=4, dim_head=32):
+    """Round-1 [b,h,n,d] full attention (reference ddpm.py:242-271)."""
+    b, hh, ww, c = x.shape
+    n = hh * ww
+    g0 = params["RMSNorm_0"]["g"]
+    xn = x * jax.lax.rsqrt(jnp.sum(x**2, -1, keepdims=True) + 1e-12)
+    xn = xn * g0 * (c**0.5)
+    w_qkv = params["Conv_0"]["kernel"][0, 0]
+    qkv = (xn.reshape(b, n, c) @ w_qkv).reshape(b, n, 3, heads, dim_head)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # [b,h,n,d]
+    mem = params["mem_kv"]
+    mk = jnp.broadcast_to(mem[0], (b, *mem[0].shape))
+    mv = jnp.broadcast_to(mem[1], (b, *mem[1].shape))
+    k = jnp.concatenate([mk, k], axis=-2)
+    v = jnp.concatenate([mv, v], axis=-2)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * dim_head**-0.5, k)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, hh, ww, heads * dim_head)
+    return out @ params["Conv_1"]["kernel"][0, 0] + params["Conv_1"]["bias"]
+
+
+def test_linear_attention_matches_naive_reference(rng):
+    from lightning_generative_models_tpu.models.modules.attention import (
+        LinearAttention,
+    )
+
+    x = jax.random.normal(rng, (2, 8, 8, 64))
+    mod = LinearAttention(64)
+    params = mod.init(jax.random.fold_in(rng, 1), x)["params"]
+    out = mod.apply({"params": params}, x)
+    ref = _naive_linear_attention(x, params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_full_attention_matches_naive_reference(rng):
+    from lightning_generative_models_tpu.models.modules.attention import Attention
+
+    x = jax.random.normal(rng, (2, 4, 4, 64))
+    mod = Attention(64)
+    params = mod.init(jax.random.fold_in(rng, 1), x)["params"]
+    out = mod.apply({"params": params}, x)
+    ref = _naive_full_attention(x, params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
