@@ -92,15 +92,16 @@ def bench_dcgan(steps: int, batch: int = 128):
     return batch / per_step, per_step
 
 
-def bench_ddim50(batch: int = 64, reps: int = 3, dim: int = 64, img: int = 32):
+def bench_ddim50(batch: int = 64, dim: int = 64, img: int = 32):
     """DDIM-50 samples/sec (reference protocol: batch-64 EMA sampling).
 
-    Times a per-step-dispatched DDIM loop: measured within 4%% of the shipped
-    single-program lax.scan sampler, but compiling one denoise step keeps the
-    benchmark inside its timebox on slow remote-compile backends.
+    Uses the shipped single-program ``lax.scan`` sampler — ONE dispatch per
+    batch, so the tunnel's per-dispatch latency jitter (which made a
+    50-dispatch step loop swing +/-30%% across runs) cannot contaminate the
+    measurement. Slope timing (t(1+k reps) - t(1 rep)) / k cancels the fixed
+    dispatch/readback cost; median of 3 slope estimates.
     """
     import jax
-    import jax.numpy as jnp
 
     from lightning_generative_models_tpu.models.diffusion.ddpm import DDPM
 
@@ -110,39 +111,26 @@ def bench_ddim50(batch: int = 64, reps: int = 3, dim: int = 64, img: int = 32):
     )
     rng = jax.random.PRNGKey(0)
     state = jax.jit(model.init_state)(rng)
-    gd = model.diffusion
-    apply_fn = model._apply_fn(state.ema_params)
+    sample = jax.jit(lambda r: model.sample(state, r, batch))
 
-    times_seq = np.linspace(-1, 999, 51).astype(int).tolist()[::-1]
-    pairs = list(zip(times_seq[:-1], times_seq[1:]))
+    def run(n, seed0):
+        out = None
+        for i in range(n):
+            out = sample(jax.random.fold_in(rng, seed0 + i))
+        float(out[0, 0, 0, 0])  # D2H readback = real barrier
 
-    @jax.jit
-    def ddim_step(img_t, t, t_next):
-        t_b = jnp.full((batch,), t, jnp.int32)
-        pred_noise, x_start = gd.model_predictions(
-            apply_fn, img_t, t_b, None, clip_x_start=True,
-            rederive_pred_noise=True,
-        )
-        alpha_next = jnp.where(t_next >= 0, gd.alphas_cumprod[t_next], 1.0)
-        c = jnp.sqrt(jnp.clip(1 - alpha_next, 0.0, None))
-        nxt = x_start * jnp.sqrt(alpha_next) + c * pred_noise
-        return jnp.where(t_next >= 0, nxt, x_start)
-
-    def run(seed):
-        img = jax.random.normal(jax.random.fold_in(rng, seed),
-                                (batch, img_size_hw, img_size_hw, 3))
-        for t, tn in pairs:
-            img = ddim_step(img, jnp.int32(t), jnp.int32(tn))
-        float(img[0, 0, 0, 0])  # readback barrier
-
-    img_size_hw = img
-    run(0)  # compile + warmup
-    times = []
-    for i in range(reps):
+    run(1, 0)  # compile + warmup
+    k = 3
+    estimates = []
+    for rep in range(3):
         t0 = time.perf_counter()
-        run(i + 1)
-        times.append(time.perf_counter() - t0)
-    return batch / float(np.median(times))
+        run(1, 10 * rep)
+        t1 = time.perf_counter()
+        run(1 + k, 100 * rep)
+        t2 = time.perf_counter()
+        estimates.append(((t2 - t1) - (t1 - t0)) / k)
+    per_batch = max(float(np.median(estimates)), 1e-9)
+    return batch / per_batch
 
 
 def bench_dcgan_unrolled(steps: int = 12, batch: int = 128, unroll: int = 4):
@@ -223,21 +211,24 @@ def main():
                         help=argparse.SUPPRESS)  # subprocess helper mode
     args = parser.parse_args()
 
+    import os
+
+    import jax
+
+    # Persistent compile cache (also in --only subprocess mode: the diffusion
+    # train/sampling programs with Pallas kernels take minutes to compile
+    # cold; cached they load in seconds).
+    cache_dir = os.path.join(os.path.dirname(__file__), "experiments", ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     if args.only:
         fn = {"ddim50": lambda: bench_ddim50(),
               "ddpm_train": lambda: bench_ddpm_train(),
               "dcgan_unroll4": lambda: bench_dcgan_unrolled()}[args.only]
         print(json.dumps({"value": fn()}))
         return 0
-
-    import os
-
-    import jax
-
-    cache_dir = os.path.join(os.path.dirname(__file__), "experiments", ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     n_chips = jax.device_count()
     img_per_sec, step_time = bench_dcgan(args.steps)

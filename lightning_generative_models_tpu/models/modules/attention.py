@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from lightning_generative_models_tpu.ops.attention import scaled_dot_product_attention
+from lightning_generative_models_tpu.ops.linear_attention import linear_attention
 
 
 class RMSNorm(nn.Module):
@@ -51,7 +52,14 @@ class RMSNorm(nn.Module):
 
 
 class LinearAttention(nn.Module):
-    """Softmax-kernel linear attention (ddpm.py:203-239), O(n*d^2)."""
+    """Softmax-kernel linear attention (ddpm.py:203-239), O(n*d^2).
+
+    The whole block (RMSNorm -> qkv proj -> softmaxes + memory KV -> head
+    contractions -> out proj -> RMSNorm) runs as ONE fused Pallas kernel on
+    TPU (ops/linear_attention.py) — profiling attributed ~40% of the UNet
+    forward to this block's HBM round-trips. Parameters are declared flat so
+    the identical tree serves both the fused and the XLA path.
+    """
 
     dim: int
     heads: int = 4
@@ -62,48 +70,29 @@ class LinearAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
-        n = h * w
         hd = self.heads * self.dim_head
 
-        x = RMSNorm(self.dim)(x.astype(self.dtype))
-        qkv = nn.Conv(hd * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, d]
-
-        # Same param shape as round 1 / the reference: [2, heads, d, m].
+        g0 = self.param("norm_g", nn.initializers.ones, (self.dim,))
+        qkv_kernel = self.param(
+            "qkv_kernel", nn.initializers.lecun_normal(), (self.dim, 3 * hd)
+        )
         mem = self.param(
             "mem_kv",
             nn.initializers.normal(1.0),
             (2, self.heads, self.dim_head, self.num_mem_kv),
         )
-        # [2, h, d, m] -> [m, h, d]; concat on the token (sublane) axis.
-        mk, mv = (
-            jnp.broadcast_to(
-                mem[i].transpose(2, 0, 1)[None].astype(self.dtype),
-                (b, self.num_mem_kv, self.heads, self.dim_head),
-            )
-            for i in range(2)
+        out_kernel = self.param(
+            "out_kernel", nn.initializers.lecun_normal(), (hd, self.dim)
         )
-        k = jnp.concatenate([mk, k], axis=1)
-        v = jnp.concatenate([mv, v], axis=1)
+        out_bias = self.param("out_bias", nn.initializers.zeros, (self.dim,))
+        g1 = self.param("out_norm_g", nn.initializers.ones, (self.dim,))
 
-        # f32 softmax statistics (q over features, k over tokens incl. mem).
-        q = jax.nn.softmax(q.astype(jnp.float32), axis=-1) * (self.dim_head**-0.5)
-        k = jax.nn.softmax(k.astype(jnp.float32), axis=1)
-        q = q.astype(self.dtype)
-        k = k.astype(self.dtype)
-
-        # context[d, e] = sum_n k[n, d] v[n, e] — per-head MXU matmuls with
-        # f32 accumulation; token axis contracted, feature dims stay in lanes.
-        context = jnp.einsum(
-            "bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
-        out = jnp.einsum(
-            "bhde,bnhd->bnhe", context, q, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
-        out = out.reshape(b, h, w, hd)
-        out = nn.Conv(self.dim, (1, 1), dtype=self.dtype)(out)
-        return RMSNorm(self.dim)(out)
+        out = linear_attention(
+            x.astype(self.dtype).reshape(b, h * w, c),
+            g0, qkv_kernel, mem, out_kernel, out_bias, g1,
+            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
+        )
+        return out.reshape(b, h, w, c)
 
 
 class Attention(nn.Module):

@@ -1,0 +1,539 @@
+"""Fused linear-attention block as a Pallas TPU kernel.
+
+The UNet's linear attention (reference models/generative/diffusion/ddpm.py:
+203-239: RMSNorm -> qkv 1x1 conv -> q/k softmaxes + memory KV -> two small
+einsums -> out 1x1 conv -> RMSNorm) is entirely memory-bound at the
+reference's resolutions: round-2 profiling attributed ~40% of the UNet
+forward to it, with arithmetic intensity far below the MXU roofline because
+XLA materializes every intermediate ([b,n,3,h,d] splits, f32 softmax
+round-trips) in HBM.
+
+This kernel computes the WHOLE block per batch row inside VMEM: one program
+reads x[i] (n x c) and the (grid-constant) weights, and writes out[i] —
+HBM traffic collapses to one activation read + one write.
+
+TPU-first head math: heads*dim_head = hd stays packed in the 128-lane
+dimension end-to-end. Per-head contractions become single [hd, hd] MXU
+matmuls with a block-diagonal mask selecting the per-head blocks:
+
+    context_full = ks^T @ vcat            # [hd, hd], one MXU tile
+    context      = context_full * blockdiag(heads)
+    out_attn     = qs @ context           # [n, hd]
+
+which does 4x the strictly-needed head FLOPs but in perfectly-shaped
+(K=n, 128x128) matmuls — far faster than 4 separate [32, 32] contractions
+that fill 6% of the MXU.
+
+Softmax stabilizers: the q softmax is per-head (32-lane segments); a
+row-global max over all hd lanes is subtracted instead — any upper bound is
+a valid softmax stabilizer, and the full-lane max is native on the VPU while
+segmented maxes are not. Segment sums are MXU matmuls against a
+[hd, heads] 0/1 segment matrix.
+
+Gradients: ``fused_linear_attention`` is a ``jax.custom_vjp`` whose backward
+is a second Pallas kernel (``_bwd_kernel``): it recomputes the forward
+intermediates in VMEM (activations are never spilled as residuals) and emits
+dx per program plus weight gradients accumulated across the sequential grid
+(TPU grid steps run in order; constant-index output blocks stay resident in
+VMEM, the standard Pallas accumulation pattern). ``linear_attention_xla`` is
+the CPU path and the parity oracle in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INTERPRET = False  # flip for kernel debugging on CPU
+
+_EPS = 1e-12
+
+
+# ---------------------------------------------------------------------------
+# XLA composition (CPU path, gradient path, and the parity oracle in tests)
+# ---------------------------------------------------------------------------
+
+def _rmsnorm(x: jax.Array, g: jax.Array, dim: int) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    normed = x32 * jax.lax.rsqrt(jnp.sum(x32**2, axis=-1, keepdims=True) + _EPS)
+    return (normed * g * (dim**0.5)).astype(x.dtype)
+
+
+def linear_attention_xla(
+    x: jax.Array,           # [b, n, c]
+    g0: jax.Array,          # [c]
+    qkv_kernel: jax.Array,  # [c, 3*h*d]
+    mem_kv: jax.Array,      # [2, heads, d, m]
+    out_kernel: jax.Array,  # [h*d, c]
+    out_bias: jax.Array,    # [c]
+    g1: jax.Array,          # [c]
+    heads: int,
+    dim_head: int,
+    dtype: jnp.dtype,
+) -> jax.Array:
+    b, n, c = x.shape
+    hd = heads * dim_head
+    m = mem_kv.shape[-1]
+
+    xn = _rmsnorm(x.astype(dtype), g0, c)
+    qkv = (xn @ qkv_kernel.astype(dtype)).reshape(b, n, 3, heads, dim_head)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, d]
+
+    mk, mv = (
+        jnp.broadcast_to(
+            mem_kv[i].transpose(2, 0, 1)[None].astype(dtype),
+            (b, m, heads, dim_head),
+        )
+        for i in range(2)
+    )
+    k = jnp.concatenate([mk, k], axis=1)
+    v = jnp.concatenate([mv, v], axis=1)
+
+    q = jax.nn.softmax(q.astype(jnp.float32), axis=-1) * (dim_head**-0.5)
+    k = jax.nn.softmax(k.astype(jnp.float32), axis=1)
+    q = q.astype(dtype)
+    k = k.astype(dtype)
+
+    context = jnp.einsum(
+        "bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32
+    ).astype(dtype)
+    out = jnp.einsum(
+        "bhde,bnhd->bnhe", context, q, preferred_element_type=jnp.float32
+    ).astype(dtype)
+    out = out.reshape(b, n, hd)
+    out = out @ out_kernel.astype(dtype) + out_bias.astype(dtype)
+    return _rmsnorm(out, g1, c)
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(
+    x_ref, g0_ref, wqkv_ref, memk_ref, memv_ref, wo_ref, bo_ref, g1_ref,
+    o_ref, *, heads: int, dim_head: int, n: int, c: int, m: int,
+    compute_dtype,
+):
+    hd = heads * dim_head
+    inv_sqrt_d = dim_head**-0.5
+
+    x = x_ref[0].astype(jnp.float32)                       # [n, c]
+    g0 = g0_ref[0].astype(jnp.float32)                     # [1, c] row
+    r0 = jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + _EPS)
+    xn = (x * r0 * (g0 * (c**0.5))).astype(compute_dtype)  # [n, c]
+
+    wqkv = wqkv_ref[:].astype(compute_dtype)               # [c, 3hd]
+    p = jnp.dot(xn, wqkv, preferred_element_type=jnp.float32)  # [n, 3hd]
+    q = p[:, :hd]
+    k = p[:, hd:2 * hd]
+    v = p[:, 2 * hd:]
+
+    # q softmax per 32-lane head segment, stabilized by the row-global max.
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 0) // dim_head
+        == jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 1)
+    ).astype(jnp.float32)                                  # [hd, heads]
+    qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
+    seg_sum = jnp.dot(qe, seg, preferred_element_type=jnp.float32)  # [n, heads]
+    denom = jnp.dot(seg_sum, seg.T, preferred_element_type=jnp.float32)
+    qs = (qe / denom * inv_sqrt_d).astype(compute_dtype)   # [n, hd]
+
+    # k softmax over tokens incl. memory tokens. The mem contribution is
+    # merged analytically (shared stabilizer + summed normalizer) instead of
+    # concatenating on the sublane axis — no [n+m] copies, no transposes.
+    memk = memk_ref[:].astype(jnp.float32)                  # [m, hd]
+    memv = memv_ref[:].astype(jnp.float32)                  # [m, hd]
+    kmax = jnp.maximum(
+        jnp.max(k, axis=0, keepdims=True),
+        jnp.max(memk, axis=0, keepdims=True),
+    )                                                       # [1, hd]
+    ke = jnp.exp(k - kmax)                                  # [n, hd]
+    me = jnp.exp(memk - kmax)                               # [m, hd]
+    z = jnp.sum(ke, axis=0, keepdims=True) + jnp.sum(me, axis=0, keepdims=True)
+
+    # Per-head contractions as full [hd, hd] MXU tiles + block-diagonal mask;
+    # dot_general contracts the token (sublane) axis directly — the MXU loads
+    # the transposed operand natively, nothing is materialized.
+    blockdiag = (
+        jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
+        == jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
+    ).astype(jnp.float32)
+    contract0 = (((0,), (0,)), ((), ()))
+    context = (
+        jax.lax.dot_general(
+            ke.astype(compute_dtype), v.astype(compute_dtype), contract0,
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            me.astype(compute_dtype), memv.astype(compute_dtype), contract0,
+            preferred_element_type=jnp.float32,
+        )
+    ) * (blockdiag / z.T)                                   # [hd, hd]
+    out_attn = jnp.dot(
+        qs, context.astype(compute_dtype), preferred_element_type=jnp.float32
+    )                                                       # [n, hd]
+
+    wo = wo_ref[:].astype(compute_dtype)
+    y = jnp.dot(
+        out_attn.astype(compute_dtype), wo, preferred_element_type=jnp.float32
+    ) + bo_ref[0].astype(jnp.float32)                       # [n, c]
+
+    g1 = g1_ref[0].astype(jnp.float32)
+    r1 = jax.lax.rsqrt(jnp.sum(y * y, axis=-1, keepdims=True) + _EPS)
+    o_ref[0] = (y * r1 * (g1 * (c**0.5))).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "dim_head", "compute_dtype")
+)
+def _pallas_forward(
+    x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
+    heads: int, dim_head: int, compute_dtype,
+):
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    b, n, c = x.shape
+    hd = heads * dim_head
+    m = mem_kv.shape[-1]
+
+    # [2, h, d, m] -> [m, hd] rows (h-major lanes, matching the qkv split).
+    memk = mem_kv[0].transpose(2, 0, 1).reshape(m, hd)
+    memv = mem_kv[1].transpose(2, 0, 1).reshape(m, hd)
+
+    kern = functools.partial(
+        _kernel, heads=heads, dim_head=dim_head, n=n, c=c, m=m,
+        compute_dtype=compute_dtype,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, 3 * hd), lambda i: (0, 0)),
+            pl.BlockSpec((m, hd), lambda i: (0, 0)),
+            pl.BlockSpec((m, hd), lambda i: (0, 0)),
+            pl.BlockSpec((hd, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        interpret=_INTERPRET,
+    )(
+        x, g0.reshape(1, c), qkv_kernel, memk, memv,
+        out_kernel, out_bias.reshape(1, c), g1.reshape(1, c),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernel (recompute-in-VMEM; sequential-grid weight grads)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(
+    x_ref, g0_ref, wqkv_ref, memk_ref, memv_ref, wo_ref, bo_ref, g1_ref,
+    dout_ref,
+    dx_ref, dw_ref, dmemk_ref, dmemv_ref, dwo_ref, dbo_ref, dg0_ref, dg1_ref,
+    *, heads: int, dim_head: int, n: int, c: int, m: int, compute_dtype,
+):
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    hd = heads * dim_head
+    inv_sqrt_d = dim_head**-0.5
+    contract0 = (((0,), (0,)), ((), ()))   # A^T @ B
+    contract1 = (((1,), (1,)), ((), ()))   # A @ B^T
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dmemk_ref[:] = jnp.zeros_like(dmemk_ref)
+        dmemv_ref[:] = jnp.zeros_like(dmemv_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+        dbo_ref[:] = jnp.zeros_like(dbo_ref)
+        dg0_ref[:] = jnp.zeros_like(dg0_ref)
+        dg1_ref[:] = jnp.zeros_like(dg1_ref)
+
+    # ---- recompute forward (same math as _kernel) -------------------------
+    x = x_ref[0].astype(jnp.float32)
+    g0 = g0_ref[0].astype(jnp.float32)
+    sqrt_c = c**0.5
+    r0 = jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + _EPS)
+    xn32 = x * r0 * (g0 * sqrt_c)
+    xn = xn32.astype(compute_dtype)
+
+    wqkv = wqkv_ref[:].astype(compute_dtype)
+    p = jnp.dot(xn, wqkv, preferred_element_type=jnp.float32)
+    q = p[:, :hd]
+    k = p[:, hd:2 * hd]
+    v = p[:, 2 * hd:]
+
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 0) // dim_head
+        == jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 1)
+    ).astype(jnp.float32)
+    qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
+    seg_sum = jnp.dot(qe, seg, preferred_element_type=jnp.float32)
+    denom = jnp.dot(seg_sum, seg.T, preferred_element_type=jnp.float32)
+    pq = qe / denom
+    qs = (pq * inv_sqrt_d).astype(compute_dtype)
+
+    memk = memk_ref[:].astype(jnp.float32)
+    memv = memv_ref[:].astype(jnp.float32)
+    kmax = jnp.maximum(
+        jnp.max(k, axis=0, keepdims=True),
+        jnp.max(memk, axis=0, keepdims=True),
+    )
+    ke = jnp.exp(k - kmax)
+    me = jnp.exp(memk - kmax)
+    z = jnp.sum(ke, axis=0, keepdims=True) + jnp.sum(me, axis=0, keepdims=True)
+
+    blockdiag = (
+        jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
+        == jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
+    ).astype(jnp.float32)
+    u_masked = (
+        jax.lax.dot_general(
+            ke.astype(compute_dtype), v.astype(compute_dtype), contract0,
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            me.astype(compute_dtype), memv.astype(compute_dtype), contract0,
+            preferred_element_type=jnp.float32,
+        )
+    ) * blockdiag                                           # U (masked), [hd, hd]
+    context = u_masked / z.T                                # C, [hd, hd]
+    a = jnp.dot(
+        qs, context.astype(compute_dtype), preferred_element_type=jnp.float32
+    )                                                       # [n, hd]
+
+    wo = wo_ref[:].astype(compute_dtype)
+    y = jnp.dot(
+        a.astype(compute_dtype), wo, preferred_element_type=jnp.float32
+    ) + bo_ref[0].astype(jnp.float32)
+    g1 = g1_ref[0].astype(jnp.float32)
+    r1 = jax.lax.rsqrt(jnp.sum(y * y, axis=-1, keepdims=True) + _EPS)
+
+    # ---- backward ----------------------------------------------------------
+    dout = dout_ref[0].astype(jnp.float32)
+
+    # RMSNorm2: out = y * r1 * (g1 * sqrt_c)
+    u1 = dout * (g1 * sqrt_c)
+    dy = u1 * r1 - y * (r1**3) * jnp.sum(u1 * y, axis=-1, keepdims=True)
+    dg1_ref[:] += jnp.sum(dout * y * r1, axis=0, keepdims=True) * sqrt_c
+
+    dyc = dy.astype(compute_dtype)
+    dwo_ref[:] += jax.lax.dot_general(
+        a.astype(compute_dtype), dyc, contract0,
+        preferred_element_type=jnp.float32,
+    )
+    dbo_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+    da = jax.lax.dot_general(
+        dyc, wo, contract1, preferred_element_type=jnp.float32
+    )                                                       # [n, hd]
+
+    dac = da.astype(compute_dtype)
+    dqs = jax.lax.dot_general(
+        dac, context.astype(compute_dtype), contract1,
+        preferred_element_type=jnp.float32,
+    )                                                       # [n, hd]
+    dcontext = jax.lax.dot_general(
+        qs, dac, contract0, preferred_element_type=jnp.float32
+    )                                                       # [hd, hd]
+
+    # C = U_masked / z^T  (column z broadcasts along e)
+    du = dcontext * blockdiag / z.T
+    dz_col = -jnp.sum(dcontext * context, axis=1, keepdims=True) / z.T  # [hd,1]
+    dz = dz_col.T                                           # [1, hd]
+
+    duc = du.astype(compute_dtype)
+    dke = jax.lax.dot_general(
+        v.astype(compute_dtype), duc, contract1,
+        preferred_element_type=jnp.float32,
+    ) + dz                                                  # [n, hd]
+    dv = jnp.dot(
+        ke.astype(compute_dtype), duc, preferred_element_type=jnp.float32
+    )                                                       # [n, hd]
+    dme = jax.lax.dot_general(
+        memv.astype(compute_dtype), duc, contract1,
+        preferred_element_type=jnp.float32,
+    ) + dz                                                  # [m, hd]
+    dmv = jnp.dot(
+        me.astype(compute_dtype), duc, preferred_element_type=jnp.float32
+    )                                                       # [m, hd]
+
+    # ke = exp(k - kmax): softmax stabilizer has exactly-zero gradient.
+    dk = ke * dke
+    dmemk_ref[:] += me * dme
+    dmemv_ref[:] += dmv
+
+    # q segment softmax: qs = softmax_seg(q) * s
+    dp_q = dqs * inv_sqrt_d
+    tmp = jnp.dot(dp_q * pq, seg, preferred_element_type=jnp.float32)  # [n, h]
+    dq = pq * dp_q - pq * jnp.dot(
+        tmp, seg.T, preferred_element_type=jnp.float32
+    )
+
+    dp = jnp.concatenate([dq, dk, dv], axis=-1)             # [n, 3hd]
+    dpc = dp.astype(compute_dtype)
+    dxn = jax.lax.dot_general(
+        dpc, wqkv, contract1, preferred_element_type=jnp.float32
+    )                                                       # [n, c]
+    dw_ref[:] += jax.lax.dot_general(
+        xn, dpc, contract0, preferred_element_type=jnp.float32
+    )
+
+    # RMSNorm1: xn = x * r0 * (g0 * sqrt_c)
+    u0 = dxn * (g0 * sqrt_c)
+    dx = u0 * r0 - x * (r0**3) * jnp.sum(u0 * x, axis=-1, keepdims=True)
+    dg0_ref[:] += jnp.sum(dxn * x * r0, axis=0, keepdims=True) * sqrt_c
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "dim_head", "compute_dtype")
+)
+def _pallas_backward(
+    x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1, dout,
+    heads: int, dim_head: int, compute_dtype,
+):
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    b, n, c = x.shape
+    hd = heads * dim_head
+    m = mem_kv.shape[-1]
+    memk = mem_kv[0].transpose(2, 0, 1).reshape(m, hd)
+    memv = mem_kv[1].transpose(2, 0, 1).reshape(m, hd)
+
+    kern = functools.partial(
+        _bwd_kernel, heads=heads, dim_head=dim_head, n=n, c=c, m=m,
+        compute_dtype=compute_dtype,
+    )
+    full = lambda *s: pl.BlockSpec(s, lambda i: tuple(0 for _ in s))
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, n, c), x.dtype),          # dx
+        jax.ShapeDtypeStruct((c, 3 * hd), jnp.float32),    # dW
+        jax.ShapeDtypeStruct((m, hd), jnp.float32),        # dmemk
+        jax.ShapeDtypeStruct((m, hd), jnp.float32),        # dmemv
+        jax.ShapeDtypeStruct((hd, c), jnp.float32),        # dWo
+        jax.ShapeDtypeStruct((1, c), jnp.float32),         # dbo
+        jax.ShapeDtypeStruct((1, c), jnp.float32),         # dg0
+        jax.ShapeDtypeStruct((1, c), jnp.float32),         # dg1
+    )
+    dx, dw, dmemk, dmemv, dwo, dbo, dg0, dg1 = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+            full(1, c),
+            full(c, 3 * hd),
+            full(m, hd),
+            full(m, hd),
+            full(hd, c),
+            full(1, c),
+            full(1, c),
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+            full(c, 3 * hd),
+            full(m, hd),
+            full(m, hd),
+            full(hd, c),
+            full(1, c),
+            full(1, c),
+            full(1, c),
+        ),
+        out_shape=out_shapes,
+        interpret=_INTERPRET,
+    )(
+        x, g0.reshape(1, c), qkv_kernel, memk, memv,
+        out_kernel, out_bias.reshape(1, c), g1.reshape(1, c), dout,
+    )
+
+    # [m, hd] -> [h, d, m] each; stack to the module's mem_kv layout.
+    dmem = jnp.stack([
+        dmemk.reshape(m, heads, dim_head).transpose(1, 2, 0),
+        dmemv.reshape(m, heads, dim_head).transpose(1, 2, 0),
+    ])
+    return (
+        dx,
+        dg0.reshape(c).astype(g0.dtype),
+        dw.astype(qkv_kernel.dtype),
+        dmem.astype(mem_kv.dtype),
+        dwo.astype(out_kernel.dtype),
+        dbo.reshape(c).astype(out_bias.dtype),
+        dg1.reshape(c).astype(g1.dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp: Pallas forward, Pallas backward (exact gradients)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_linear_attention(
+    x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
+    heads: int, dim_head: int, dtype=jnp.float32,
+):
+    return _pallas_forward(
+        x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
+        heads, dim_head, dtype,
+    )
+
+
+def _fla_fwd(x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
+             heads, dim_head, dtype):
+    out = _pallas_forward(
+        x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
+        heads, dim_head, dtype,
+    )
+    return out, (x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1)
+
+
+def _fla_bwd(heads, dim_head, dtype, res, g):
+    x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1 = res
+    dx, dg0, dw, dmem, dwo, dbo, dg1 = _pallas_backward(
+        x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1, g,
+        heads, dim_head, dtype,
+    )
+    return dx, dg0, dw, dmem, dwo, dbo, dg1
+
+
+fused_linear_attention.defvjp(_fla_fwd, _fla_bwd)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def linear_attention(
+    x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
+    heads: int, dim_head: int, dtype=jnp.float32,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """Fused Pallas path on TPU (VMEM-resident block), XLA elsewhere."""
+    b, n, c = x.shape
+    hd = heads * dim_head
+    # VMEM budget: the per-program working set is ~n * (c + 3hd + 4hd) f32.
+    fits = n * (c + 7 * hd) * 4 < 8 * 1024 * 1024
+    if use_pallas and (_on_tpu() or _INTERPRET) and fits and hd % 128 == 0:
+        return fused_linear_attention(
+            x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
+            heads, dim_head, dtype,
+        )
+    return linear_attention_xla(
+        x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
+        heads=heads, dim_head=dim_head, dtype=dtype,
+    )

@@ -150,6 +150,35 @@ def main(stages):
     if "sample" in stages:
         bench_sample(make_model(), "baseline bf16")
 
+    if "base" in stages:
+        # Robust baseline: median of repeated interleaved measurements
+        # (the tunneled TPU shows multi-ms contention spikes).
+        import numpy as np
+
+        model = make_model()
+        rng = jax.random.PRNGKey(0)
+        state = jax.jit(model.init_state)(rng)
+        params = state.params["model"]
+        x = jnp.zeros((BS_TRAIN, 32, 32, 3), jnp.float32)
+        t = jnp.zeros((BS_TRAIN,), jnp.int32)
+        fwd = jax.jit(lambda p, x, t: model.unet.apply({"params": p}, x, t))
+        batch = {
+            "image": jnp.zeros((BS_TRAIN, 32, 32, 3), jnp.uint8),
+            "label": jnp.zeros((BS_TRAIN,), jnp.int32),
+        }
+        step = jax.jit(model.train_step)
+        run_step = lambda s: step(s, batch, rng)[1]["train_loss"]
+        fwd_ts, step_ts = [], []
+        for rep in range(5):
+            fwd_ts.append(_time(fwd, params, x, t, iters=20, warmup=2))
+            step_ts.append(_time(run_step, state, iters=10, warmup=2))
+        fm = float(np.median(fwd_ts)) * 1e3
+        sm = float(np.median(step_ts)) * 1e3
+        print(f"median-of-5  fwd  {fm:8.3f} ms  {BS_TRAIN/fm*1e3:10.0f} img/s"
+              f"   (all: {[round(v*1e3,2) for v in fwd_ts]})")
+        print(f"median-of-5  step {sm:8.3f} ms  {BS_TRAIN/sm*1e3:10.0f} img/s"
+              f"   (all: {[round(v*1e3,2) for v in step_ts]})", flush=True)
+
 
 if __name__ == "__main__":
     main(sys.argv[1:] or ["fwd"])

@@ -138,10 +138,10 @@ def _naive_linear_attention(x, params, heads=4, dim_head=32):
     (reference ddpm.py:203-239), run in f32 on the same parameters."""
     b, hh, ww, c = x.shape
     n = hh * ww
-    g0 = params["RMSNorm_0"]["g"]
+    g0 = params["norm_g"]
     xn = x * jax.lax.rsqrt(jnp.sum(x**2, -1, keepdims=True) + 1e-12)
     xn = xn * g0 * (c**0.5)
-    w_qkv = params["Conv_0"]["kernel"][0, 0]  # [c, 3*h*d]
+    w_qkv = params["qkv_kernel"]  # [c, 3*h*d]
     qkv = (xn.reshape(b, n, c) @ w_qkv).reshape(b, n, 3, heads, dim_head)
     q, k, v = (qkv[:, :, i].transpose(0, 2, 3, 1) for i in range(3))  # [b,h,d,n]
     mem = params["mem_kv"]
@@ -154,8 +154,8 @@ def _naive_linear_attention(x, params, heads=4, dim_head=32):
     context = jnp.einsum("bhdn,bhen->bhde", k, v)
     out = jnp.einsum("bhde,bhdn->bhen", context, q)
     out = out.transpose(0, 3, 1, 2).reshape(b, hh, ww, heads * dim_head)
-    out = out @ params["Conv_1"]["kernel"][0, 0] + params["Conv_1"]["bias"]
-    g1 = params["RMSNorm_1"]["g"]
+    out = out @ params["out_kernel"] + params["out_bias"]
+    g1 = params["out_norm_g"]
     on = out * jax.lax.rsqrt(jnp.sum(out**2, -1, keepdims=True) + 1e-12)
     return on * g1 * (out.shape[-1] ** 0.5)
 
@@ -204,3 +204,60 @@ def test_full_attention_matches_naive_reference(rng):
     out = mod.apply({"params": params}, x)
     ref = _naive_full_attention(x, params)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+# -- fused Pallas linear attention: kernel vs XLA composition ---------------
+
+def _fla_args(rng, n=64, c=64, b=2, heads=4, dim_head=32, m=4):
+    import lightning_generative_models_tpu.ops.linear_attention as FLA
+
+    hd = heads * dim_head
+    mk = lambda i, shape: jax.random.normal(jax.random.fold_in(rng, i), shape)
+    x = mk(0, (b, n, c))
+    g0 = mk(1, (c,)) * 0.1 + 1.0
+    qkv_kernel = mk(2, (c, 3 * hd)) * (c**-0.5)
+    mem_kv = mk(3, (2, heads, dim_head, m))
+    out_kernel = mk(4, (hd, c)) * (hd**-0.5)
+    out_bias = mk(5, (c,)) * 0.1
+    g1 = mk(6, (c,)) * 0.1 + 1.0
+    return FLA, (x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1)
+
+
+@pytest.mark.parametrize("n,c", [(64, 64), (256, 128), (16, 256)])
+def test_fused_linear_attention_matches_xla(rng, n, c):
+    FLA, args = _fla_args(rng, n=n, c=c)
+    ref = FLA.linear_attention_xla(*args, heads=4, dim_head=32,
+                                   dtype=jnp.float32)
+    old = FLA._INTERPRET
+    FLA._INTERPRET = jax.default_backend() != "tpu"
+    try:
+        out = FLA.fused_linear_attention(*args, 4, 32, jnp.float32)
+    finally:
+        FLA._INTERPRET = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_fused_linear_attention_grads_match_xla(rng):
+    """custom_vjp backward (XLA recompute) == jax.grad of the composition."""
+    FLA, args = _fla_args(rng, n=32, c=64)
+
+    def loss_fused(*a):
+        return jnp.sum(FLA.fused_linear_attention(*a, 4, 32, jnp.float32) ** 2)
+
+    def loss_xla(*a):
+        return jnp.sum(
+            FLA.linear_attention_xla(*a, heads=4, dim_head=32,
+                                     dtype=jnp.float32) ** 2
+        )
+
+    old = FLA._INTERPRET
+    FLA._INTERPRET = jax.default_backend() != "tpu"
+    try:
+        g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    finally:
+        FLA._INTERPRET = old
+    g_ref = jax.grad(loss_xla, argnums=tuple(range(7)))(*args)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-4, rtol=5e-4)
