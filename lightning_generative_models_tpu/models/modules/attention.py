@@ -66,6 +66,7 @@ class LinearAttention(nn.Module):
     dim_head: int = 32
     num_mem_kv: int = 4
     dtype: jnp.dtype = jnp.float32
+    residual: bool = False  # fold the surrounding `attn(x) + x` into the kernel
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -91,6 +92,7 @@ class LinearAttention(nn.Module):
             x.astype(self.dtype).reshape(b, h * w, c),
             g0, qkv_kernel, mem, out_kernel, out_bias, g1,
             heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
+            residual=self.residual,
         )
         return out.reshape(b, h, w, c)
 
@@ -104,6 +106,7 @@ class Attention(nn.Module):
     num_mem_kv: int = 4
     flash: bool = False
     dtype: jnp.dtype = jnp.float32
+    residual: bool = False  # fold the surrounding `attn(x) + x` in
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -111,6 +114,7 @@ class Attention(nn.Module):
         n = h * w
         hd = self.heads * self.dim_head
 
+        x_in = x
         x = RMSNorm(self.dim)(x.astype(self.dtype))
         qkv = nn.Conv(hd * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
@@ -155,4 +159,5 @@ class Attention(nn.Module):
             ).astype(self.dtype)
 
         out = out.reshape(b, h, w, hd)
-        return nn.Conv(self.dim, (1, 1), dtype=self.dtype)(out)
+        out = nn.Conv(self.dim, (1, 1), dtype=self.dtype)(out)
+        return out + x_in.astype(out.dtype) if self.residual else out

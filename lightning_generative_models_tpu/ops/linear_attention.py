@@ -73,6 +73,7 @@ def linear_attention_xla(
     heads: int,
     dim_head: int,
     dtype: jnp.dtype,
+    residual: bool = False,
 ) -> jax.Array:
     b, n, c = x.shape
     hd = heads * dim_head
@@ -105,7 +106,8 @@ def linear_attention_xla(
     ).astype(dtype)
     out = out.reshape(b, n, hd)
     out = out @ out_kernel.astype(dtype) + out_bias.astype(dtype)
-    return _rmsnorm(out, g1, c)
+    out = _rmsnorm(out, g1, c)
+    return out + x.astype(out.dtype) if residual else out
 
 
 # ---------------------------------------------------------------------------
@@ -115,7 +117,7 @@ def linear_attention_xla(
 def _kernel(
     x_ref, g0_ref, wqkv_ref, memk_ref, memv_ref, wo_ref, bo_ref, g1_ref,
     o_ref, *, heads: int, dim_head: int, n: int, c: int, m: int,
-    compute_dtype,
+    compute_dtype, residual: bool,
 ):
     hd = heads * dim_head
     inv_sqrt_d = dim_head**-0.5
@@ -183,15 +185,18 @@ def _kernel(
 
     g1 = g1_ref[0].astype(jnp.float32)
     r1 = jax.lax.rsqrt(jnp.sum(y * y, axis=-1, keepdims=True) + _EPS)
-    o_ref[0] = (y * r1 * (g1 * (c**0.5))).astype(o_ref.dtype)
+    out = y * r1 * (g1 * (c**0.5))
+    if residual:
+        out = out + x
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "dim_head", "compute_dtype")
+    jax.jit, static_argnames=("heads", "dim_head", "compute_dtype", "residual")
 )
 def _pallas_forward(
     x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
-    heads: int, dim_head: int, compute_dtype,
+    heads: int, dim_head: int, compute_dtype, residual: bool = False,
 ):
     from jax.experimental import pallas as pl  # noqa: PLC0415
 
@@ -205,7 +210,7 @@ def _pallas_forward(
 
     kern = functools.partial(
         _kernel, heads=heads, dim_head=dim_head, n=n, c=c, m=m,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, residual=residual,
     )
     return pl.pallas_call(
         kern,
@@ -238,6 +243,7 @@ def _bwd_kernel(
     dout_ref,
     dx_ref, dw_ref, dmemk_ref, dmemv_ref, dwo_ref, dbo_ref, dg0_ref, dg1_ref,
     *, heads: int, dim_head: int, n: int, c: int, m: int, compute_dtype,
+    residual: bool,
 ):
     from jax.experimental import pallas as pl  # noqa: PLC0415
 
@@ -391,15 +397,17 @@ def _bwd_kernel(
     u0 = dxn * (g0 * sqrt_c)
     dx = u0 * r0 - x * (r0**3) * jnp.sum(u0 * x, axis=-1, keepdims=True)
     dg0_ref[:] += jnp.sum(dxn * x * r0, axis=0, keepdims=True) * sqrt_c
+    if residual:
+        dx = dx + dout
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "dim_head", "compute_dtype")
+    jax.jit, static_argnames=("heads", "dim_head", "compute_dtype", "residual")
 )
 def _pallas_backward(
     x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1, dout,
-    heads: int, dim_head: int, compute_dtype,
+    heads: int, dim_head: int, compute_dtype, residual: bool = False,
 ):
     from jax.experimental import pallas as pl  # noqa: PLC0415
 
@@ -411,7 +419,7 @@ def _pallas_backward(
 
     kern = functools.partial(
         _bwd_kernel, heads=heads, dim_head=dim_head, n=n, c=c, m=m,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, residual=residual,
     )
     full = lambda *s: pl.BlockSpec(s, lambda i: tuple(0 for _ in s))
     out_shapes = (
@@ -475,31 +483,31 @@ def _pallas_backward(
 # custom_vjp: Pallas forward, Pallas backward (exact gradients)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def fused_linear_attention(
     x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
-    heads: int, dim_head: int, dtype=jnp.float32,
+    heads: int, dim_head: int, dtype=jnp.float32, residual: bool = False,
 ):
     return _pallas_forward(
         x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
-        heads, dim_head, dtype,
+        heads, dim_head, dtype, residual,
     )
 
 
 def _fla_fwd(x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
-             heads, dim_head, dtype):
+             heads, dim_head, dtype, residual):
     out = _pallas_forward(
         x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
-        heads, dim_head, dtype,
+        heads, dim_head, dtype, residual,
     )
     return out, (x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1)
 
 
-def _fla_bwd(heads, dim_head, dtype, res, g):
+def _fla_bwd(heads, dim_head, dtype, residual, res, g):
     x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1 = res
     dx, dg0, dw, dmem, dwo, dbo, dg1 = _pallas_backward(
         x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1, g,
-        heads, dim_head, dtype,
+        heads, dim_head, dtype, residual,
     )
     return dx, dg0, dw, dmem, dwo, dbo, dg1
 
@@ -521,7 +529,7 @@ def _on_tpu() -> bool:
 def linear_attention(
     x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
     heads: int, dim_head: int, dtype=jnp.float32,
-    use_pallas: bool = True,
+    use_pallas: bool = True, residual: bool = False,
 ) -> jax.Array:
     """Fused Pallas path on TPU (VMEM-resident block), XLA elsewhere."""
     b, n, c = x.shape
@@ -531,9 +539,9 @@ def linear_attention(
     if use_pallas and (_on_tpu() or _INTERPRET) and fits and hd % 128 == 0:
         return fused_linear_attention(
             x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
-            heads, dim_head, dtype,
+            heads, dim_head, dtype, residual,
         )
     return linear_attention_xla(
         x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
-        heads=heads, dim_head=dim_head, dtype=dtype,
+        heads=heads, dim_head=dim_head, dtype=dtype, residual=residual,
     )

@@ -261,3 +261,47 @@ def test_fused_linear_attention_grads_match_xla(rng):
     for gf, gr in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_fused_linear_attention_residual_matches_xla(rng):
+    """residual=True folds the surrounding `attn(x) + x` into the kernel."""
+    FLA, args = _fla_args(rng, n=64, c=64)
+    ref = FLA.linear_attention_xla(*args, heads=4, dim_head=32,
+                                   dtype=jnp.float32, residual=True)
+    old = FLA._INTERPRET
+    FLA._INTERPRET = jax.default_backend() != "tpu"
+    try:
+        out = FLA.fused_linear_attention(*args, 4, 32, jnp.float32, True)
+    finally:
+        FLA._INTERPRET = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+    # and it really is out(residual=False) + x
+    base = FLA.linear_attention_xla(*args, heads=4, dim_head=32,
+                                    dtype=jnp.float32, residual=False)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(base + args[0]),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_fused_linear_attention_residual_grads_match_xla(rng):
+    FLA, args = _fla_args(rng, n=32, c=64)
+
+    def loss_fused(*a):
+        return jnp.sum(
+            FLA.fused_linear_attention(*a, 4, 32, jnp.float32, True) ** 2)
+
+    def loss_xla(*a):
+        return jnp.sum(
+            FLA.linear_attention_xla(*a, heads=4, dim_head=32,
+                                     dtype=jnp.float32, residual=True) ** 2)
+
+    old = FLA._INTERPRET
+    FLA._INTERPRET = jax.default_backend() != "tpu"
+    try:
+        g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    finally:
+        FLA._INTERPRET = old
+    g_ref = jax.grad(loss_xla, argnums=tuple(range(7)))(*args)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-4, rtol=5e-4)
