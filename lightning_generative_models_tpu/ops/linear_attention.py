@@ -8,9 +8,12 @@ forward to it, with arithmetic intensity far below the MXU roofline because
 XLA materializes every intermediate ([b,n,3,h,d] splits, f32 softmax
 round-trips) in HBM.
 
-This kernel computes the WHOLE block per batch row inside VMEM: one program
-reads x[i] (n x c) and the (grid-constant) weights, and writes out[i] —
-HBM traffic collapses to one activation read + one write.
+This kernel computes the WHOLE block inside VMEM: one program reads a
+[rows, n, c] slab of batch rows and the (grid-constant) weights, and writes
+the matching output slab — HBM traffic collapses to one activation read +
+one write. Token-wise stages run on the flattened [rows*n, ...] view;
+per-row softmax statistics and context contractions use 3D reshapes and
+batched dot_general. rows is a per-shape tuned constant (_rows_per_step).
 
 TPU-first head math: heads*dim_head = hd stays packed in the 128-lane
 dimension end-to-end. Per-head contractions become single [hd, hd] MXU
@@ -114,21 +117,46 @@ def linear_attention_xla(
 # Pallas forward kernel
 # ---------------------------------------------------------------------------
 
+def _rows_per_step(b: int, n: int, target_tokens: int) -> int:
+    """Batch rows per grid step.
+
+    Tuned on TPU v5e with interleaved medians (scripts/bench_attention.py
+    and a rows sweep): the kernel is VPU-bound, so per-grid-step fixed cost
+    is small and blocking pays only on a few shapes (~10-25% there). rows
+    is capped so the per-step f32 working set stays well under Mosaic's
+    16 MB scoped-VMEM stack limit (observed OOM at ~25 MB).
+    target_tokens doubles as the fwd(4096)/bwd(2048) discriminator.
+    """
+    if target_tokens >= 4096:  # forward
+        r = 4 if n >= 512 else (2 if n >= 256 else 1)
+        r = max(1, min(r, 4096 // max(n, 1)))
+    else:  # backward (larger working set; wins only at mid-size n)
+        r = 4 if 64 <= n <= 256 else 1
+    r = min(r, b)
+    while b % r:
+        r -= 1
+    return r
+
+
 def _kernel(
     x_ref, g0_ref, wqkv_ref, memk_ref, memv_ref, wo_ref, bo_ref, g1_ref,
-    o_ref, *, heads: int, dim_head: int, n: int, c: int, m: int,
+    o_ref, *, heads: int, dim_head: int, n: int, c: int, m: int, rows: int,
     compute_dtype, residual: bool,
 ):
     hd = heads * dim_head
     inv_sqrt_d = dim_head**-0.5
+    R = rows
+    N = R * n  # tokens in this step's block
 
-    x = x_ref[0].astype(jnp.float32)                       # [n, c]
+    # Token-wise stages run on the flattened [N, ...] view: batch rows only
+    # matter for the k-softmax statistics and the context contractions.
+    x = x_ref[:].reshape(N, c).astype(jnp.float32)         # [N, c]
     g0 = g0_ref[0].astype(jnp.float32)                     # [1, c] row
     r0 = jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + _EPS)
-    xn = (x * r0 * (g0 * (c**0.5))).astype(compute_dtype)  # [n, c]
+    xn = (x * r0 * (g0 * (c**0.5))).astype(compute_dtype)  # [N, c]
 
     wqkv = wqkv_ref[:].astype(compute_dtype)               # [c, 3hd]
-    p = jnp.dot(xn, wqkv, preferred_element_type=jnp.float32)  # [n, 3hd]
+    p = jnp.dot(xn, wqkv, preferred_element_type=jnp.float32)  # [N, 3hd]
     q = p[:, :hd]
     k = p[:, hd:2 * hd]
     v = p[:, 2 * hd:]
@@ -139,56 +167,62 @@ def _kernel(
         == jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 1)
     ).astype(jnp.float32)                                  # [hd, heads]
     qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-    seg_sum = jnp.dot(qe, seg, preferred_element_type=jnp.float32)  # [n, heads]
+    seg_sum = jnp.dot(qe, seg, preferred_element_type=jnp.float32)  # [N, heads]
     denom = jnp.dot(seg_sum, seg.T, preferred_element_type=jnp.float32)
-    qs = (qe / denom * inv_sqrt_d).astype(compute_dtype)   # [n, hd]
+    qs = (qe / denom * inv_sqrt_d).astype(compute_dtype)   # [N, hd]
 
-    # k softmax over tokens incl. memory tokens. The mem contribution is
-    # merged analytically (shared stabilizer + summed normalizer) instead of
-    # concatenating on the sublane axis — no [n+m] copies, no transposes.
+    # k softmax over each batch row's tokens incl. memory tokens. The mem
+    # contribution is merged analytically (shared stabilizer + summed
+    # normalizer) instead of concatenating on the sublane axis.
     memk = memk_ref[:].astype(jnp.float32)                  # [m, hd]
     memv = memv_ref[:].astype(jnp.float32)                  # [m, hd]
+    k3 = k.reshape(R, n, hd)
     kmax = jnp.maximum(
-        jnp.max(k, axis=0, keepdims=True),
-        jnp.max(memk, axis=0, keepdims=True),
-    )                                                       # [1, hd]
-    ke = jnp.exp(k - kmax)                                  # [n, hd]
-    me = jnp.exp(memk - kmax)                               # [m, hd]
-    z = jnp.sum(ke, axis=0, keepdims=True) + jnp.sum(me, axis=0, keepdims=True)
+        jnp.max(k3, axis=1), jnp.max(memk, axis=0)[None]
+    )                                                       # [R, hd]
+    ke3 = jnp.exp(k3 - kmax[:, None, :])                    # [R, n, hd]
+    me3 = jnp.exp(memk[None] - kmax[:, None, :])            # [R, m, hd]
+    z = jnp.sum(ke3, axis=1) + jnp.sum(me3, axis=1)         # [R, hd]
 
-    # Per-head contractions as full [hd, hd] MXU tiles + block-diagonal mask;
-    # dot_general contracts the token (sublane) axis directly — the MXU loads
-    # the transposed operand natively, nothing is materialized.
+    # Per-head contractions as full [hd, hd] MXU tiles + block-diagonal mask,
+    # batched over the step's R rows; dot_general contracts the token
+    # (sublane) axis directly — nothing is materialized transposed.
     blockdiag = (
         jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
         == jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
     ).astype(jnp.float32)
-    contract0 = (((0,), (0,)), ((), ()))
+    v3 = v.reshape(R, n, hd).astype(compute_dtype)
+    bcontract_tok = (((1,), (1,)), ((0,), (0,)))            # contract tokens
+    memv3 = jnp.broadcast_to(
+        memv.astype(compute_dtype)[None], (R, m, hd))
     context = (
         jax.lax.dot_general(
-            ke.astype(compute_dtype), v.astype(compute_dtype), contract0,
+            ke3.astype(compute_dtype), v3, bcontract_tok,
             preferred_element_type=jnp.float32,
         )
         + jax.lax.dot_general(
-            me.astype(compute_dtype), memv.astype(compute_dtype), contract0,
+            me3.astype(compute_dtype), memv3, bcontract_tok,
             preferred_element_type=jnp.float32,
         )
-    ) * (blockdiag / z.T)                                   # [hd, hd]
-    out_attn = jnp.dot(
-        qs, context.astype(compute_dtype), preferred_element_type=jnp.float32
-    )                                                       # [n, hd]
+    ) * (blockdiag[None] / z[:, :, None])                   # [R, hd, hd]
+    qs3 = qs.reshape(R, n, hd)
+    out_attn = jax.lax.dot_general(
+        qs3, context.astype(compute_dtype),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(N, hd)                                        # [N, hd]
 
     wo = wo_ref[:].astype(compute_dtype)
     y = jnp.dot(
         out_attn.astype(compute_dtype), wo, preferred_element_type=jnp.float32
-    ) + bo_ref[0].astype(jnp.float32)                       # [n, c]
+    ) + bo_ref[0].astype(jnp.float32)                       # [N, c]
 
     g1 = g1_ref[0].astype(jnp.float32)
     r1 = jax.lax.rsqrt(jnp.sum(y * y, axis=-1, keepdims=True) + _EPS)
     out = y * r1 * (g1 * (c**0.5))
     if residual:
         out = out + x
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[:] = out.reshape(R, n, c).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -208,15 +242,16 @@ def _pallas_forward(
     memk = mem_kv[0].transpose(2, 0, 1).reshape(m, hd)
     memv = mem_kv[1].transpose(2, 0, 1).reshape(m, hd)
 
+    rows = _rows_per_step(b, n, target_tokens=4096)
     kern = functools.partial(
-        _kernel, heads=heads, dim_head=dim_head, n=n, c=c, m=m,
+        _kernel, heads=heads, dim_head=dim_head, n=n, c=c, m=m, rows=rows,
         compute_dtype=compute_dtype, residual=residual,
     )
     return pl.pallas_call(
         kern,
-        grid=(b,),
+        grid=(b // rows,),
         in_specs=[
-            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, n, c), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((c, 3 * hd), lambda i: (0, 0)),
             pl.BlockSpec((m, hd), lambda i: (0, 0)),
@@ -225,7 +260,7 @@ def _pallas_forward(
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((rows, n, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
         interpret=_INTERPRET,
     )(
@@ -242,15 +277,18 @@ def _bwd_kernel(
     x_ref, g0_ref, wqkv_ref, memk_ref, memv_ref, wo_ref, bo_ref, g1_ref,
     dout_ref,
     dx_ref, dw_ref, dmemk_ref, dmemv_ref, dwo_ref, dbo_ref, dg0_ref, dg1_ref,
-    *, heads: int, dim_head: int, n: int, c: int, m: int, compute_dtype,
-    residual: bool,
+    *, heads: int, dim_head: int, n: int, c: int, m: int, rows: int,
+    compute_dtype, residual: bool,
 ):
     from jax.experimental import pallas as pl  # noqa: PLC0415
 
     hd = heads * dim_head
     inv_sqrt_d = dim_head**-0.5
+    R = rows
+    N = R * n
     contract0 = (((0,), (0,)), ((), ()))   # A^T @ B
     contract1 = (((1,), (1,)), ((), ()))   # A @ B^T
+    bcontract_tok = (((1,), (1,)), ((0,), (0,)))   # batched, contract tokens
 
     i = pl.program_id(0)
 
@@ -265,7 +303,7 @@ def _bwd_kernel(
         dg1_ref[:] = jnp.zeros_like(dg1_ref)
 
     # ---- recompute forward (same math as _kernel) -------------------------
-    x = x_ref[0].astype(jnp.float32)
+    x = x_ref[:].reshape(N, c).astype(jnp.float32)
     g0 = g0_ref[0].astype(jnp.float32)
     sqrt_c = c**0.5
     r0 = jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + _EPS)
@@ -290,32 +328,37 @@ def _bwd_kernel(
 
     memk = memk_ref[:].astype(jnp.float32)
     memv = memv_ref[:].astype(jnp.float32)
-    kmax = jnp.maximum(
-        jnp.max(k, axis=0, keepdims=True),
-        jnp.max(memk, axis=0, keepdims=True),
-    )
-    ke = jnp.exp(k - kmax)
-    me = jnp.exp(memk - kmax)
-    z = jnp.sum(ke, axis=0, keepdims=True) + jnp.sum(me, axis=0, keepdims=True)
+    k3 = k.reshape(R, n, hd)
+    kmax = jnp.maximum(jnp.max(k3, axis=1), jnp.max(memk, axis=0)[None])
+    ke3 = jnp.exp(k3 - kmax[:, None, :])                    # [R, n, hd]
+    me3 = jnp.exp(memk[None] - kmax[:, None, :])            # [R, m, hd]
+    z = jnp.sum(ke3, axis=1) + jnp.sum(me3, axis=1)         # [R, hd]
 
     blockdiag = (
         jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
         == jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
     ).astype(jnp.float32)
+    v3 = v.reshape(R, n, hd).astype(compute_dtype)
+    ke3c = ke3.astype(compute_dtype)
+    me3c = me3.astype(compute_dtype)
+    memv3 = jnp.broadcast_to(memv.astype(compute_dtype)[None], (R, m, hd))
     u_masked = (
         jax.lax.dot_general(
-            ke.astype(compute_dtype), v.astype(compute_dtype), contract0,
-            preferred_element_type=jnp.float32,
+            ke3c, v3, bcontract_tok, preferred_element_type=jnp.float32,
         )
         + jax.lax.dot_general(
-            me.astype(compute_dtype), memv.astype(compute_dtype), contract0,
-            preferred_element_type=jnp.float32,
+            me3c, memv3, bcontract_tok, preferred_element_type=jnp.float32,
         )
-    ) * blockdiag                                           # U (masked), [hd, hd]
-    context = u_masked / z.T                                # C, [hd, hd]
-    a = jnp.dot(
-        qs, context.astype(compute_dtype), preferred_element_type=jnp.float32
-    )                                                       # [n, hd]
+    ) * blockdiag[None]                                     # U, [R, hd, hd]
+    zcol = z[:, :, None]                                    # [R, hd, 1]
+    context = u_masked / zcol                               # C, [R, hd, hd]
+    qs3 = qs.reshape(R, n, hd)
+    contextc = context.astype(compute_dtype)
+    a3 = jax.lax.dot_general(
+        qs3, contextc, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                       # [R, n, hd]
+    a = a3.reshape(N, hd)
 
     wo = wo_ref[:].astype(compute_dtype)
     y = jnp.dot(
@@ -325,7 +368,7 @@ def _bwd_kernel(
     r1 = jax.lax.rsqrt(jnp.sum(y * y, axis=-1, keepdims=True) + _EPS)
 
     # ---- backward ----------------------------------------------------------
-    dout = dout_ref[0].astype(jnp.float32)
+    dout = dout_ref[:].reshape(N, c).astype(jnp.float32)
 
     # RMSNorm2: out = y * r1 * (g1 * sqrt_c)
     u1 = dout * (g1 * sqrt_c)
@@ -340,55 +383,56 @@ def _bwd_kernel(
     dbo_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
     da = jax.lax.dot_general(
         dyc, wo, contract1, preferred_element_type=jnp.float32
-    )                                                       # [n, hd]
+    )                                                       # [N, hd]
 
-    dac = da.astype(compute_dtype)
-    dqs = jax.lax.dot_general(
-        dac, context.astype(compute_dtype), contract1,
+    da3 = da.reshape(R, n, hd).astype(compute_dtype)
+    dqs3 = jax.lax.dot_general(
+        da3, contextc, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                                       # [n, hd]
+    )                                                       # [R, n, hd]
     dcontext = jax.lax.dot_general(
-        qs, dac, contract0, preferred_element_type=jnp.float32
-    )                                                       # [hd, hd]
+        qs3, da3, bcontract_tok, preferred_element_type=jnp.float32,
+    )                                                       # [R, hd(d), hd(e)]
 
-    # C = U_masked / z^T  (column z broadcasts along e)
-    du = dcontext * blockdiag / z.T
-    dz_col = -jnp.sum(dcontext * context, axis=1, keepdims=True) / z.T  # [hd,1]
-    dz = dz_col.T                                           # [1, hd]
+    # C = U_masked / z (z broadcasts along e)
+    du3 = dcontext * blockdiag[None] / zcol
+    dz = -jnp.sum(dcontext * context, axis=2) / z           # [R, hd]
 
-    duc = du.astype(compute_dtype)
-    dke = jax.lax.dot_general(
-        v.astype(compute_dtype), duc, contract1,
+    du3c = du3.astype(compute_dtype)
+    dke3 = jax.lax.dot_general(
+        v3, du3c, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) + dz                                                  # [n, hd]
-    dv = jnp.dot(
-        ke.astype(compute_dtype), duc, preferred_element_type=jnp.float32
-    )                                                       # [n, hd]
-    dme = jax.lax.dot_general(
-        memv.astype(compute_dtype), duc, contract1,
+    ) + dz[:, None, :]                                      # [R, n, hd(d)]
+    dv3 = jax.lax.dot_general(
+        ke3c, du3c, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) + dz                                                  # [m, hd]
-    dmv = jnp.dot(
-        me.astype(compute_dtype), duc, preferred_element_type=jnp.float32
-    )                                                       # [m, hd]
+    )                                                       # [R, n, hd(e)]
+    dme3 = jax.lax.dot_general(
+        memv3, du3c, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) + dz[:, None, :]                                      # [R, m, hd(d)]
+    dmv3 = jax.lax.dot_general(
+        me3c, du3c, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                       # [R, m, hd(e)]
 
     # ke = exp(k - kmax): softmax stabilizer has exactly-zero gradient.
-    dk = ke * dke
-    dmemk_ref[:] += me * dme
-    dmemv_ref[:] += dmv
+    dk = (ke3 * dke3).reshape(N, hd)
+    dmemk_ref[:] += jnp.sum(me3 * dme3, axis=0)
+    dmemv_ref[:] += jnp.sum(dmv3, axis=0)
 
     # q segment softmax: qs = softmax_seg(q) * s
-    dp_q = dqs * inv_sqrt_d
-    tmp = jnp.dot(dp_q * pq, seg, preferred_element_type=jnp.float32)  # [n, h]
+    dp_q = dqs3.reshape(N, hd) * inv_sqrt_d
+    tmp = jnp.dot(dp_q * pq, seg, preferred_element_type=jnp.float32)  # [N, h]
     dq = pq * dp_q - pq * jnp.dot(
         tmp, seg.T, preferred_element_type=jnp.float32
     )
 
-    dp = jnp.concatenate([dq, dk, dv], axis=-1)             # [n, 3hd]
+    dp = jnp.concatenate([dq, dk, dv3.reshape(N, hd)], axis=-1)  # [N, 3hd]
     dpc = dp.astype(compute_dtype)
     dxn = jax.lax.dot_general(
         dpc, wqkv, contract1, preferred_element_type=jnp.float32
-    )                                                       # [n, c]
+    )                                                       # [N, c]
     dw_ref[:] += jax.lax.dot_general(
         xn, dpc, contract0, preferred_element_type=jnp.float32
     )
@@ -399,7 +443,7 @@ def _bwd_kernel(
     dg0_ref[:] += jnp.sum(dxn * x * r0, axis=0, keepdims=True) * sqrt_c
     if residual:
         dx = dx + dout
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dx_ref[:] = dx.reshape(R, n, c).astype(dx_ref.dtype)
 
 
 @functools.partial(
@@ -417,8 +461,9 @@ def _pallas_backward(
     memk = mem_kv[0].transpose(2, 0, 1).reshape(m, hd)
     memv = mem_kv[1].transpose(2, 0, 1).reshape(m, hd)
 
+    rows = _rows_per_step(b, n, target_tokens=2048)
     kern = functools.partial(
-        _bwd_kernel, heads=heads, dim_head=dim_head, n=n, c=c, m=m,
+        _bwd_kernel, heads=heads, dim_head=dim_head, n=n, c=c, m=m, rows=rows,
         compute_dtype=compute_dtype, residual=residual,
     )
     full = lambda *s: pl.BlockSpec(s, lambda i: tuple(0 for _ in s))
@@ -434,9 +479,9 @@ def _pallas_backward(
     )
     dx, dw, dmemk, dmemv, dwo, dbo, dg0, dg1 = pl.pallas_call(
         kern,
-        grid=(b,),
+        grid=(b // rows,),
         in_specs=[
-            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, n, c), lambda i: (i, 0, 0)),
             full(1, c),
             full(c, 3 * hd),
             full(m, hd),
@@ -444,10 +489,10 @@ def _pallas_backward(
             full(hd, c),
             full(1, c),
             full(1, c),
-            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, n, c), lambda i: (i, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, n, c), lambda i: (i, 0, 0)),
             full(c, 3 * hd),
             full(m, hd),
             full(m, hd),
@@ -534,8 +579,10 @@ def linear_attention(
     """Fused Pallas path on TPU (VMEM-resident block), XLA elsewhere."""
     b, n, c = x.shape
     hd = heads * dim_head
-    # VMEM budget: the per-program working set is ~n * (c + 3hd + 4hd) f32.
-    fits = n * (c + 7 * hd) * 4 < 8 * 1024 * 1024
+    # VMEM budget: the per-step working set is ~rows*n * (c + 3hd + 4hd) f32
+    # (rows batch-blocks small-n stages to amortize per-grid-step overhead).
+    rows = _rows_per_step(b, n, target_tokens=4096)
+    fits = rows * n * (c + 7 * hd) * 4 < 48 * 1024 * 1024
     if use_pallas and (_on_tpu() or _INTERPRET) and fits and hd % 128 == 0:
         return fused_linear_attention(
             x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,

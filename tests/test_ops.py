@@ -223,9 +223,11 @@ def _fla_args(rng, n=64, c=64, b=2, heads=4, dim_head=32, m=4):
     return FLA, (x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1)
 
 
-@pytest.mark.parametrize("n,c", [(64, 64), (256, 128), (16, 256)])
-def test_fused_linear_attention_matches_xla(rng, n, c):
-    FLA, args = _fla_args(rng, n=n, c=c)
+@pytest.mark.parametrize("n,c,b", [(64, 64, 2), (256, 128, 2), (16, 256, 2),
+                                   (1024, 64, 6)])
+def test_fused_linear_attention_matches_xla(rng, n, c, b):
+    """The b=6/n=1024 case spans multiple grid steps with rows>1."""
+    FLA, args = _fla_args(rng, n=n, c=c, b=b)
     ref = FLA.linear_attention_xla(*args, heads=4, dim_head=32,
                                    dtype=jnp.float32)
     old = FLA._INTERPRET
@@ -238,9 +240,12 @@ def test_fused_linear_attention_matches_xla(rng, n, c):
                                atol=2e-4, rtol=2e-4)
 
 
-def test_fused_linear_attention_grads_match_xla(rng):
-    """custom_vjp backward (XLA recompute) == jax.grad of the composition."""
-    FLA, args = _fla_args(rng, n=32, c=64)
+@pytest.mark.parametrize("n,b", [(32, 2), (512, 8)])
+def test_fused_linear_attention_grads_match_xla(rng, n, b):
+    """custom_vjp backward == jax.grad of the composition. The b=8/n=512
+    case runs the backward over multiple grid steps with rows>1, covering
+    the cross-step weight-gradient accumulation."""
+    FLA, args = _fla_args(rng, n=n, c=64, b=b)
 
     def loss_fused(*a):
         return jnp.sum(FLA.fused_linear_attention(*a, 4, 32, jnp.float32) ** 2)
