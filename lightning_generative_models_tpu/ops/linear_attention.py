@@ -528,32 +528,142 @@ def _pallas_backward(
 # custom_vjp: Pallas forward, Pallas backward (exact gradients)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# SPMD partitioning: under a mesh the kernel runs independently per batch
+# shard (weights grid-constant/replicated); the backward's weight gradients
+# are partial sums that need one psum over the batch axis. Without this,
+# GSPMD treats the custom call as opaque and all-gathers the batch.
+# ---------------------------------------------------------------------------
+
+from jax.experimental.custom_partitioning import (  # noqa: E402
+    custom_partitioning,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+
+def _batch_axes(arg_info):
+    spec = arg_info.sharding.spec if arg_info.sharding else P()
+    return spec[0] if len(spec) else None
+
+
+_FWD_RULE = "b n c, c, c q, t h d m, e c, c, c -> b n c"
+_BWD_RULE = (
+    "b n c, c, c q, t h d m, e c, c, c, b n c "
+    "-> b n c, c, c q, t h d m, e c, c, c"
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _spmd_forward(heads: int, dim_head: int, dtype, residual: bool):
+    @custom_partitioning
+    def fwd(x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1):
+        return _pallas_forward(
+            x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
+            heads, dim_head, dtype, residual,
+        )
+
+    def infer(mesh, arg_infos, result_infos):
+        return NamedSharding(mesh, P(_batch_axes(arg_infos[0]), None, None))
+
+    def partition(mesh, arg_infos, result_infos):
+        batch = _batch_axes(arg_infos[0])
+        rep = lambda nd: NamedSharding(mesh, P(*([None] * nd)))
+        arg_sh = (
+            NamedSharding(mesh, P(batch, None, None)),
+            rep(1), rep(2), rep(4), rep(2), rep(1), rep(1),
+        )
+        res_sh = NamedSharding(mesh, P(batch, None, None))
+
+        def impl(x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1):
+            return _pallas_forward(
+                x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
+                heads, dim_head, dtype, residual,
+            )
+
+        return mesh, impl, res_sh, arg_sh
+
+    fwd.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=_FWD_RULE,
+    )
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _spmd_backward(heads: int, dim_head: int, dtype, residual: bool):
+    @custom_partitioning
+    def bwd(x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1, dout):
+        return _pallas_backward(
+            x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1, dout,
+            heads, dim_head, dtype, residual,
+        )
+
+    def infer(mesh, arg_infos, result_infos):
+        batch = _batch_axes(arg_infos[0])
+        rep = lambda nd: NamedSharding(mesh, P(*([None] * nd)))
+        return (
+            NamedSharding(mesh, P(batch, None, None)),  # dx
+            rep(1), rep(2), rep(4), rep(2), rep(1), rep(1),
+        )
+
+    def partition(mesh, arg_infos, result_infos):
+        batch = _batch_axes(arg_infos[0])
+        rep = lambda nd: NamedSharding(mesh, P(*([None] * nd)))
+        arg_sh = (
+            NamedSharding(mesh, P(batch, None, None)),
+            rep(1), rep(2), rep(4), rep(2), rep(1), rep(1),
+            NamedSharding(mesh, P(batch, None, None)),
+        )
+        res_sh = (
+            NamedSharding(mesh, P(batch, None, None)),
+            rep(1), rep(2), rep(4), rep(2), rep(1), rep(1),
+        )
+
+        def impl(x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1, dout):
+            dx, dg0, dw, dmem, dwo, dbo, dg1 = _pallas_backward(
+                x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1, dout,
+                heads, dim_head, dtype, residual,
+            )
+            if batch is not None:
+                ps = lambda t: jax.lax.psum(t, batch)
+                dg0, dw, dmem, dwo, dbo, dg1 = (
+                    ps(dg0), ps(dw), ps(dmem), ps(dwo), ps(dbo), ps(dg1))
+            return dx, dg0, dw, dmem, dwo, dbo, dg1
+
+        return mesh, impl, res_sh, arg_sh
+
+    bwd.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=_BWD_RULE,
+    )
+    return bwd
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def fused_linear_attention(
     x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
     heads: int, dim_head: int, dtype=jnp.float32, residual: bool = False,
 ):
-    return _pallas_forward(
+    return _spmd_forward(heads, dim_head, dtype, residual)(
         x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
-        heads, dim_head, dtype, residual,
     )
 
 
 def _fla_fwd(x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
              heads, dim_head, dtype, residual):
-    out = _pallas_forward(
+    out = _spmd_forward(heads, dim_head, dtype, residual)(
         x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
-        heads, dim_head, dtype, residual,
     )
     return out, (x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1)
 
 
 def _fla_bwd(heads, dim_head, dtype, residual, res, g):
     x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1 = res
-    dx, dg0, dw, dmem, dwo, dbo, dg1 = _pallas_backward(
-        x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1, g,
-        heads, dim_head, dtype, residual,
-    )
+    dx, dg0, dw, dmem, dwo, dbo, dg1 = _spmd_backward(
+        heads, dim_head, dtype, residual
+    )(x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1, g)
     return dx, dg0, dw, dmem, dwo, dbo, dg1
 
 

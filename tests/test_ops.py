@@ -310,3 +310,34 @@ def test_fused_linear_attention_residual_grads_match_xla(rng):
     for gf, gr in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_fused_linear_attention_spmd_batch_sharded(rng):
+    """custom_partitioning: batch-sharded inputs on an 8-device mesh give
+    the same outputs and (psum'd) weight gradients as unsharded execution."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    FLA, args = _fla_args(rng, n=32, c=64, b=8)
+
+    def loss(*a):
+        return jnp.sum(FLA.fused_linear_attention(*a, 4, 32, jnp.float32) ** 2)
+
+    old = FLA._INTERPRET
+    FLA._INTERPRET = jax.default_backend() != "tpu"
+    try:
+        ref_out = jax.jit(loss)(*args)
+        ref_grads = jax.jit(jax.grad(loss, argnums=tuple(range(7))))(*args)
+
+        devs = np.array(jax.devices()[:8]).reshape(8)
+        mesh = Mesh(devs, ("data",))
+        xs = jax.device_put(args[0], NamedSharding(mesh, P("data", None, None)))
+        rest = [jax.device_put(a, NamedSharding(mesh, P())) for a in args[1:]]
+        out = jax.jit(loss)(xs, *rest)
+        grads = jax.jit(jax.grad(loss, argnums=tuple(range(7))))(xs, *rest)
+    finally:
+        FLA._INTERPRET = old
+
+    np.testing.assert_allclose(float(out), float(ref_out), rtol=1e-5)
+    for gs, gr in zip(grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4)
