@@ -38,7 +38,14 @@ from lightning_generative_models_tpu.models.modules.time_embedding import (
 
 
 class Block(nn.Module):
-    """conv 3x3 -> GroupNorm -> (FiLM scale/shift) -> SiLU (ddpm.py:157-173)."""
+    """conv 3x3 -> GroupNorm -> (FiLM scale/shift) -> SiLU (ddpm.py:157-173).
+
+    The GN/FiLM/SiLU chain deliberately stays in XLA: a fused Pallas
+    version exists (ops/groupnorm.py) but measured SLOWER end-to-end on
+    v5e (step 22.8 -> 30.3 ms) because the opaque custom call breaks
+    XLA's fusion of the chain into the surrounding convs — see the
+    negative-result note in ops/groupnorm.py.
+    """
 
     dim_out: int
     groups: int = 8

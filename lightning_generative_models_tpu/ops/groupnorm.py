@@ -1,0 +1,459 @@
+"""Fused GroupNorm + FiLM + SiLU as a Pallas TPU kernel.
+
+**Measured NEGATIVE result — not wired into the UNet.** Round-2 ablation
+attributed ~7% of the DDPM train step to the GN/FiLM/SiLU chain that
+follows every UNet 3x3 conv (models/diffusion/unet.py Block, reference
+models/generative/diffusion/ddpm.py:157-173), so this kernel fuses the
+whole chain into one VMEM-resident program. On v5e it made the flagship
+path SLOWER (UNet fwd 7.1 -> 10.8 ms, train step 22.8 -> 30.3 ms,
+median-of-5 interleaved): the chain was never a standalone 7% — XLA was
+already fusing it into the surrounding convolutions, and replacing it with
+an opaque custom call forces the conv outputs/inputs to materialize in HBM
+around the kernel. Lesson recorded here; the kernel stays as a correct,
+tested primitive (``use_pallas=False`` by default) and the UNet keeps the
+XLA chain.
+
+This kernel computes the whole chain per batch-row slab inside VMEM:
+
+    xhat = (x - mean_g) * rsqrt(var_g + eps)         # per (row, group)
+    y    = xhat * gamma + beta                        # GN affine, [C]
+    y    = y * (scale + 1) + shift                    # FiLM, per (row, C)
+    out  = y * sigmoid(y)                             # SiLU
+
+TPU-first reductions: channels stay in the 128-lane dimension; per-group
+token+lane-segment statistics are MXU matmuls against a [C, G] 0/1 segment
+matrix (ones-row token sum -> [1, C], then @ seg -> [1, G]), never a
+transpose or an 8-lane partial reduction.
+
+The backward (custom_vjp, second Pallas kernel) recomputes the forward
+statistics in VMEM and emits dx plus the parameter gradients; dgamma/dbeta
+accumulate across the sequential grid (constant-index output blocks stay
+VMEM-resident), dscale/dshift are per-(b, C) and stream out with the grid.
+
+``groupnorm_film_silu_xla`` is the CPU path and the parity oracle in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INTERPRET = False  # flip for kernel debugging on CPU
+
+
+# ---------------------------------------------------------------------------
+# XLA composition (CPU path, parity oracle)
+# ---------------------------------------------------------------------------
+
+def groupnorm_film_silu_xla(
+    x: jax.Array,       # [b, n, c] (n = H*W tokens)
+    gamma: jax.Array,   # [c]
+    beta: jax.Array,    # [c]
+    scale: jax.Array,   # [b, c] FiLM scale (pass zeros for "no FiLM")
+    shift: jax.Array,   # [b, c]
+    groups: int,
+    eps: float = 1e-5,
+    out_dtype=None,
+) -> jax.Array:
+    b, n, c = x.shape
+    x32 = x.astype(jnp.float32)
+    xg = x32.reshape(b, n, groups, c // groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.mean((xg - mean) ** 2, axis=(1, 3), keepdims=True)
+    xhat = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, n, c)
+    y = xhat * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    y = y * (scale.astype(jnp.float32)[:, None, :] + 1.0) \
+        + shift.astype(jnp.float32)[:, None, :]
+    out = y * jax.nn.sigmoid(y)
+    return out.astype(out_dtype or x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward
+# ---------------------------------------------------------------------------
+
+def _gn_rows_per_step(b: int, n: int, c: int) -> int:
+    """Rows per grid step: keep the f32 working set (~4 arrays of
+    [rows*n, c]) around 2-6 MB, grid length a divisor of b."""
+    budget = 4 * 1024 * 1024
+    r = max(1, min(32, budget // max(n * c * 16, 1), b))
+    while b % r:
+        r -= 1
+    return r
+
+
+def _seg_matrix(c: int, groups: int):
+    """[c, groups] 0/1 lane-segment matrix (group g owns c/groups lanes)."""
+    gw = c // groups
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // gw
+        == jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    ).astype(jnp.float32)
+
+
+def _fwd_kernel(
+    x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
+    *, n: int, c: int, groups: int, rows: int, eps: float,
+):
+    R = rows
+    N = R * n
+    gw = c // groups
+    inv_cnt = 1.0 / (n * gw)
+
+    x = x_ref[:].reshape(N, c).astype(jnp.float32)          # [N, c]
+    seg = _seg_matrix(c, groups)                            # [c, G]
+
+    # Per-(row, group) stats via MXU: token sums within each row, then
+    # lane-segment sums. x3 keeps rows separate for the token reduction.
+    x3 = x.reshape(R, n, c)
+    tok_sum = jnp.sum(x3, axis=1)                           # [R, c]
+    tok_sq = jnp.sum(x3 * x3, axis=1)                       # [R, c]
+    gsum = jnp.dot(tok_sum, seg, preferred_element_type=jnp.float32)  # [R, G]
+    gsq = jnp.dot(tok_sq, seg, preferred_element_type=jnp.float32)    # [R, G]
+    mean = gsum * inv_cnt
+    var = gsq * inv_cnt - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)                         # [R, G]
+    # broadcast back to lanes: [R, G] @ seg^T -> [R, c]
+    mean_c = jnp.dot(mean, seg.T, preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd, seg.T, preferred_element_type=jnp.float32)
+
+    gamma = gamma_ref[0].astype(jnp.float32)                # [1, c]
+    beta = beta_ref[0].astype(jnp.float32)
+    scale = scale_ref[:].reshape(R, c).astype(jnp.float32)  # [R, c]
+    shift = shift_ref[:].reshape(R, c).astype(jnp.float32)
+
+    # fold GN affine and FiLM into one scale/offset per (row, lane)
+    a = (gamma * (scale + 1.0) * rstd_c)[:, None, :]        # [R, 1, c]
+    bb = ((beta - gamma * mean_c * rstd_c) * (scale + 1.0)
+          + shift)[:, None, :]                              # [R, 1, c]
+    y = x.reshape(R, n, c) * a + bb
+    out = y * jax.nn.sigmoid(y)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "out_dtype"))
+def _pallas_forward(x, gamma, beta, scale, shift, groups, eps, out_dtype):
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    b, n, c = x.shape
+    rows = _gn_rows_per_step(b, n, c)
+    kern = functools.partial(
+        _fwd_kernel, n=n, c=c, groups=groups, rows=rows, eps=eps,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, n, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((rows, 1, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, 1, c), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, n, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), out_dtype),
+        interpret=_INTERPRET,
+    )(x, gamma.reshape(1, c), beta.reshape(1, c),
+      scale.reshape(b, 1, c), shift.reshape(b, 1, c))
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward (recompute stats in VMEM)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(
+    x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, dout_ref,
+    dx_ref, dgamma_ref, dbeta_ref, dscale_ref, dshift_ref,
+    *, n: int, c: int, groups: int, rows: int, eps: float,
+):
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    R = rows
+    N = R * n
+    gw = c // groups
+    cnt = n * gw
+    inv_cnt = 1.0 / cnt
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dgamma_ref[:] = jnp.zeros_like(dgamma_ref)
+        dbeta_ref[:] = jnp.zeros_like(dbeta_ref)
+
+    # ---- recompute forward stats -----------------------------------------
+    x = x_ref[:].reshape(N, c).astype(jnp.float32)
+    seg = _seg_matrix(c, groups)
+    x3 = x.reshape(R, n, c)
+    tok_sum = jnp.sum(x3, axis=1)
+    tok_sq = jnp.sum(x3 * x3, axis=1)
+    gsum = jnp.dot(tok_sum, seg, preferred_element_type=jnp.float32)
+    gsq = jnp.dot(tok_sq, seg, preferred_element_type=jnp.float32)
+    mean = gsum * inv_cnt
+    var = gsq * inv_cnt - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.dot(mean, seg.T, preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd, seg.T, preferred_element_type=jnp.float32)
+
+    gamma = gamma_ref[0].astype(jnp.float32)
+    beta = beta_ref[0].astype(jnp.float32)
+    scale = scale_ref[:].reshape(R, c).astype(jnp.float32)
+    shift = shift_ref[:].reshape(R, c).astype(jnp.float32)
+
+    xhat = (x.reshape(R, n, c) - mean_c[:, None, :]) * rstd_c[:, None, :]
+    g_aff = gamma * (scale + 1.0)                           # [R, c]
+    y = xhat * g_aff[:, None, :] \
+        + ((beta * (scale + 1.0)) + shift)[:, None, :]
+
+    # ---- backward ---------------------------------------------------------
+    dout = dout_ref[:].reshape(R, n, c).astype(jnp.float32)
+
+    # SiLU: d/dy [y*sig(y)] = sig(y) * (1 + y * (1 - sig(y)))
+    sig = jax.nn.sigmoid(y)
+    dy = dout * (sig * (1.0 + y * (1.0 - sig)))             # [R, n, c]
+
+    # FiLM + GN affine chain (z = xhat*gamma + beta; y = z*(scale+1)+shift)
+    dshift_ref[:] = jnp.sum(dy, axis=1, keepdims=True).astype(
+        dshift_ref.dtype)                                   # [R, 1, c]
+    z = xhat * gamma + beta
+    dscale_ref[:] = jnp.sum(dy * z, axis=1, keepdims=True).astype(
+        dscale_ref.dtype)
+    dz = dy * (scale + 1.0)[:, None, :]
+    # R-sums as ones-row matmuls: Mosaic rejects the axis-0 sublane
+    # reduction relayout on small [R, c] f32 vectors.
+    ones_r = jnp.ones((1, R), jnp.float32)
+    dgamma_ref[:] += jnp.dot(
+        ones_r, jnp.sum(dz * xhat, axis=1),
+        preferred_element_type=jnp.float32)
+    dbeta_ref[:] += jnp.dot(
+        ones_r, jnp.sum(dz, axis=1), preferred_element_type=jnp.float32)
+    dxhat = dz * gamma
+
+    # GroupNorm backward per (row, group):
+    # dx = rstd * (dxhat - mean_g(dxhat) - xhat * mean_g(dxhat * xhat))
+    tok_d = jnp.sum(dxhat, axis=1)                          # [R, c]
+    tok_dx = jnp.sum(dxhat * xhat, axis=1)                  # [R, c]
+    m1 = jnp.dot(jnp.dot(tok_d, seg, preferred_element_type=jnp.float32),
+                 seg.T, preferred_element_type=jnp.float32) * inv_cnt
+    m2 = jnp.dot(jnp.dot(tok_dx, seg, preferred_element_type=jnp.float32),
+                 seg.T, preferred_element_type=jnp.float32) * inv_cnt
+    dx = rstd_c[:, None, :] * (
+        dxhat - m1[:, None, :] - xhat * m2[:, None, :]
+    )
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps"))
+def _pallas_backward(x, gamma, beta, scale, shift, dout, groups, eps):
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    b, n, c = x.shape
+    rows = _gn_rows_per_step(b, n, c)
+    kern = functools.partial(
+        _bwd_kernel, n=n, c=c, groups=groups, rows=rows, eps=eps,
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, n, c), x.dtype),       # dx
+        jax.ShapeDtypeStruct((1, c), jnp.float32),      # dgamma
+        jax.ShapeDtypeStruct((1, c), jnp.float32),      # dbeta
+        jax.ShapeDtypeStruct((b, 1, c), jnp.float32),   # dscale
+        jax.ShapeDtypeStruct((b, 1, c), jnp.float32),   # dshift
+    )
+    dx, dgamma, dbeta, dscale, dshift = pl.pallas_call(
+        kern,
+        grid=(b // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, n, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((rows, 1, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, 1, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, n, c), lambda i: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, n, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((rows, 1, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, 1, c), lambda i: (i, 0, 0)),
+        ),
+        out_shape=out_shapes,
+        interpret=_INTERPRET,
+    )(x, gamma.reshape(1, c), beta.reshape(1, c),
+      scale.reshape(b, 1, c), shift.reshape(b, 1, c), dout)
+    return (dx, dgamma.reshape(c), dbeta.reshape(c),
+            dscale.reshape(b, c), dshift.reshape(b, c))
+
+
+# ---------------------------------------------------------------------------
+# SPMD partitioning: batch shards run the kernel locally (GN statistics are
+# per-sample, so no collective in the forward); the backward's dgamma/dbeta
+# are shard-partial sums finished with one psum over the batch axes.
+# ---------------------------------------------------------------------------
+
+from jax.experimental.custom_partitioning import (  # noqa: E402
+    custom_partitioning,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+
+def _batch_axes(arg_info):
+    spec = arg_info.sharding.spec if arg_info.sharding else P()
+    return spec[0] if len(spec) else None
+
+
+@functools.lru_cache(maxsize=None)
+def _spmd_forward(groups: int, eps: float, out_dtype):
+    @custom_partitioning
+    def fwd(x, gamma, beta, scale, shift):
+        return _pallas_forward(x, gamma, beta, scale, shift, groups, eps,
+                               out_dtype)
+
+    def infer(mesh, arg_infos, result_infos):
+        return NamedSharding(mesh, P(_batch_axes(arg_infos[0]), None, None))
+
+    def partition(mesh, arg_infos, result_infos):
+        batch = _batch_axes(arg_infos[0])
+        arg_sh = (
+            NamedSharding(mesh, P(batch, None, None)),
+            NamedSharding(mesh, P(None)),
+            NamedSharding(mesh, P(None)),
+            NamedSharding(mesh, P(batch, None)),
+            NamedSharding(mesh, P(batch, None)),
+        )
+        res_sh = NamedSharding(mesh, P(batch, None, None))
+
+        def impl(x, gamma, beta, scale, shift):
+            return _pallas_forward(x, gamma, beta, scale, shift, groups, eps,
+                                   out_dtype)
+
+        return mesh, impl, res_sh, arg_sh
+
+    fwd.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b n c, c, c, b c, b c -> b n c",
+    )
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _spmd_backward(groups: int, eps: float):
+    @custom_partitioning
+    def bwd(x, gamma, beta, scale, shift, dout):
+        return _pallas_backward(x, gamma, beta, scale, shift, dout,
+                                groups, eps)
+
+    def infer(mesh, arg_infos, result_infos):
+        batch = _batch_axes(arg_infos[0])
+        return (
+            NamedSharding(mesh, P(batch, None, None)),  # dx
+            NamedSharding(mesh, P(None)),               # dgamma
+            NamedSharding(mesh, P(None)),               # dbeta
+            NamedSharding(mesh, P(batch, None)),        # dscale
+            NamedSharding(mesh, P(batch, None)),        # dshift
+        )
+
+    def partition(mesh, arg_infos, result_infos):
+        batch = _batch_axes(arg_infos[0])
+        arg_sh = (
+            NamedSharding(mesh, P(batch, None, None)),
+            NamedSharding(mesh, P(None)),
+            NamedSharding(mesh, P(None)),
+            NamedSharding(mesh, P(batch, None)),
+            NamedSharding(mesh, P(batch, None)),
+            NamedSharding(mesh, P(batch, None, None)),
+        )
+        res_sh = (
+            NamedSharding(mesh, P(batch, None, None)),
+            NamedSharding(mesh, P(None)),
+            NamedSharding(mesh, P(None)),
+            NamedSharding(mesh, P(batch, None)),
+            NamedSharding(mesh, P(batch, None)),
+        )
+
+        def impl(x, gamma, beta, scale, shift, dout):
+            dx, dgamma, dbeta, dscale, dshift = _pallas_backward(
+                x, gamma, beta, scale, shift, dout, groups, eps)
+            if batch is not None:
+                dgamma = jax.lax.psum(dgamma, batch)
+                dbeta = jax.lax.psum(dbeta, batch)
+            return dx, dgamma, dbeta, dscale, dshift
+
+        return mesh, impl, res_sh, arg_sh
+
+    bwd.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b n c, c, c, b c, b c, b n c "
+                      "-> b n c, c, c, b c, b c",
+    )
+    return bwd
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp + dispatch
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_groupnorm_film_silu(
+    x, gamma, beta, scale, shift, groups: int, eps: float = 1e-5,
+    out_dtype=None,
+):
+    return _spmd_forward(groups, eps, out_dtype or x.dtype)(
+        x, gamma, beta, scale, shift)
+
+
+def _gn_fwd(x, gamma, beta, scale, shift, groups, eps, out_dtype):
+    out = _spmd_forward(groups, eps, out_dtype or x.dtype)(
+        x, gamma, beta, scale, shift)
+    return out, (x, gamma, beta, scale, shift)
+
+
+def _gn_bwd(groups, eps, out_dtype, res, g):
+    x, gamma, beta, scale, shift = res
+    dx, dgamma, dbeta, dscale, dshift = _spmd_backward(groups, eps)(
+        x, gamma, beta, scale, shift, g)
+    return (
+        dx,
+        dgamma.astype(gamma.dtype),
+        dbeta.astype(beta.dtype),
+        dscale.astype(scale.dtype),
+        dshift.astype(shift.dtype),
+    )
+
+
+fused_groupnorm_film_silu.defvjp(_gn_fwd, _gn_bwd)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def groupnorm_film_silu(
+    x, gamma, beta, scale, shift, groups: int, eps: float = 1e-5,
+    out_dtype=None, use_pallas: bool = False,
+) -> jax.Array:
+    """Dispatching front-end: fused Pallas on TPU, XLA elsewhere.
+
+    x is [b, n, c] (tokens flattened); scale/shift are the FiLM per-(b, c)
+    modulation (zeros == no FiLM; the (scale+1) convention matches
+    reference ddpm.py:170-172).
+    """
+    b, n, c = x.shape
+    ok = (
+        use_pallas
+        and (_on_tpu() or _INTERPRET)
+        and c % groups == 0
+        and n * c * 16 < 48 * 1024 * 1024
+    )
+    if ok:
+        return fused_groupnorm_film_silu(
+            x, gamma, beta, scale, shift, groups, eps, out_dtype)
+    return groupnorm_film_silu_xla(
+        x, gamma, beta, scale, shift, groups, eps, out_dtype)
