@@ -147,6 +147,18 @@ def main(stages):
         print(f"  attention share : {(base_train-ta)/base_train*100:5.1f}%")
         print(f"  groupnorm share : {(base_train-tg)/base_train*100:5.1f}%", flush=True)
 
+    if "split" in stages:
+        # Split the attention share: full Attention (mid + innermost) vs
+        # LinearAttention (outer stages), train step.
+        base = bench_train(make_model(), "baseline bf16")
+        with patched(attn_mod.Attention, "__call__", id_call):
+            tf = bench_train(make_model(), "no full attention")
+        with patched(attn_mod.LinearAttention, "__call__", id_call):
+            tl = bench_train(make_model(), "no linear attention")
+        print("attribution (train step):")
+        print(f"  full-attn share   : {(base-tf)/base*100:5.1f}%")
+        print(f"  linear-attn share : {(base-tl)/base*100:5.1f}%", flush=True)
+
     if "sample" in stages:
         bench_sample(make_model(), "baseline bf16")
 
