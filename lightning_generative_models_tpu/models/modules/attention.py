@@ -19,8 +19,12 @@ TPU design (round-2 rewrite — attention was 43% of UNet forward time):
   f32 matmul accumulation (``preferred_element_type``);
 - RMSNorm statistics always in f32 regardless of activation dtype.
 
-Parameter shapes and names are unchanged from round 1 (same ``nn.Conv``
-projections, same ``mem_kv`` shapes), so checkpoints stay loadable.
+Checkpoint compatibility: ``Attention`` keeps round 1's parameter tree
+(same ``nn.Conv`` projections, same ``mem_kv`` shape). ``LinearAttention``
+does NOT — the fused-kernel rewrite flattened its parameters (``norm_g``,
+``qkv_kernel``, ``mem_kv``, ``out_kernel``/``out_bias``, ``out_norm_g``),
+so DDPM checkpoints written before the rewrite cannot be restored into the
+current model.
 """
 
 from __future__ import annotations
@@ -137,6 +141,10 @@ class Attention(nn.Module):
         v = jnp.concatenate([mv, v], axis=1)
 
         n_kv = k.shape[1]
+        # The n_kv gate is intentionally duplicated from ops/attention.py's
+        # dispatch: checking here skips the three q/k/v transposes entirely
+        # on the short-sequence path, where sdpa would fall back to XLA
+        # anyway (keep the two break-even constants in sync).
         if self.flash and n_kv >= 256:
             # Long sequences: Pallas flash kernel ([b, heads, n, d] layout).
             out = scaled_dot_product_attention(

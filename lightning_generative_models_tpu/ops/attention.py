@@ -25,11 +25,7 @@ import jax.numpy as jnp
 _INTERPRET = False  # flip for kernel debugging
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+from lightning_generative_models_tpu.ops.common import on_tpu as _on_tpu
 
 
 def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:

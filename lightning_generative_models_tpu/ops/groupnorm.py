@@ -298,10 +298,10 @@ from jax.experimental.custom_partitioning import (  # noqa: E402
 )
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
-
-def _batch_axes(arg_info):
-    spec = arg_info.sharding.spec if arg_info.sharding else P()
-    return spec[0] if len(spec) else None
+from lightning_generative_models_tpu.ops.common import (  # noqa: E402
+    batch_axes as _batch_axes,
+    on_tpu as _on_tpu,
+)
 
 
 @functools.lru_cache(maxsize=None)
@@ -426,13 +426,6 @@ def _gn_bwd(groups, eps, out_dtype, res, g):
 
 
 fused_groupnorm_film_silu.defvjp(_gn_fwd, _gn_bwd)
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
 
 
 def groupnorm_film_silu(

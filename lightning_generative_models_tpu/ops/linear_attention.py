@@ -27,11 +27,13 @@ which does 4x the strictly-needed head FLOPs but in perfectly-shaped
 (K=n, 128x128) matmuls — far faster than 4 separate [32, 32] contractions
 that fill 6% of the MXU.
 
-Softmax stabilizers: the q softmax is per-head (32-lane segments); a
-row-global max over all hd lanes is subtracted instead — any upper bound is
-a valid softmax stabilizer, and the full-lane max is native on the VPU while
-segmented maxes are not. Segment sums are MXU matmuls against a
-[hd, heads] 0/1 segment matrix.
+Softmax stabilizers: the q softmax is per-head (32-lane segments) and is
+stabilized by the TRUE per-head max (unrolled lane-slice maxes). An earlier
+row-global stabilizer was numerically wrong across heads: when one head's
+logits sat far enough (~88) below another's, exp underflowed across that
+head's whole segment and the segment sum became 0 -> 0/0 NaN on TPU only
+(the XLA oracle uses per-head maxes). Segment sums are MXU matmuls against
+a [hd, heads] 0/1 segment matrix.
 
 Gradients: ``fused_linear_attention`` is a ``jax.custom_vjp`` whose backward
 is a second Pallas kernel (``_bwd_kernel``): it recomputes the forward
@@ -117,6 +119,36 @@ def linear_attention_xla(
 # Pallas forward kernel
 # ---------------------------------------------------------------------------
 
+def _head_softmax(q, heads: int, dim_head: int):
+    """Per-head softmax over the feature lanes of q [N, heads*dim_head].
+
+    Stabilized by the true per-head max (unrolled static lane slices —
+    cheap: heads is 4). A row-global max is NOT a valid stabilizer here:
+    if one head's logits sit ~88 below the row max, exp underflows across
+    that head's entire 32-lane segment and the segment sum hits 0/0.
+    """
+    hd = heads * dim_head
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 0) // dim_head
+        == jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 1)
+    ).astype(jnp.float32)                                  # [hd, heads]
+    qmax = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.max(q[:, h * dim_head:(h + 1) * dim_head],
+                        axis=-1, keepdims=True),
+                (q.shape[0], dim_head),
+            )
+            for h in range(heads)
+        ],
+        axis=-1,
+    )                                                      # [N, hd]
+    qe = jnp.exp(q - qmax)
+    seg_sum = jnp.dot(qe, seg, preferred_element_type=jnp.float32)
+    denom = jnp.dot(seg_sum, seg.T, preferred_element_type=jnp.float32)
+    return qe / denom, seg
+
+
 def _rows_per_step(b: int, n: int, target_tokens: int) -> int:
     """Batch rows per grid step.
 
@@ -161,15 +193,9 @@ def _kernel(
     k = p[:, hd:2 * hd]
     v = p[:, 2 * hd:]
 
-    # q softmax per 32-lane head segment, stabilized by the row-global max.
-    seg = (
-        jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 0) // dim_head
-        == jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 1)
-    ).astype(jnp.float32)                                  # [hd, heads]
-    qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-    seg_sum = jnp.dot(qe, seg, preferred_element_type=jnp.float32)  # [N, heads]
-    denom = jnp.dot(seg_sum, seg.T, preferred_element_type=jnp.float32)
-    qs = (qe / denom * inv_sqrt_d).astype(compute_dtype)   # [N, hd]
+    # q softmax per 32-lane head segment, per-head-max stabilized.
+    pq, _ = _head_softmax(q, heads, dim_head)
+    qs = (pq * inv_sqrt_d).astype(compute_dtype)           # [N, hd]
 
     # k softmax over each batch row's tokens incl. memory tokens. The mem
     # contribution is merged analytically (shared stabilizer + summed
@@ -316,14 +342,7 @@ def _bwd_kernel(
     k = p[:, hd:2 * hd]
     v = p[:, 2 * hd:]
 
-    seg = (
-        jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 0) // dim_head
-        == jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 1)
-    ).astype(jnp.float32)
-    qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-    seg_sum = jnp.dot(qe, seg, preferred_element_type=jnp.float32)
-    denom = jnp.dot(seg_sum, seg.T, preferred_element_type=jnp.float32)
-    pq = qe / denom
+    pq, seg = _head_softmax(q, heads, dim_head)
     qs = (pq * inv_sqrt_d).astype(compute_dtype)
 
     memk = memk_ref[:].astype(jnp.float32)
@@ -540,10 +559,10 @@ from jax.experimental.custom_partitioning import (  # noqa: E402
 )
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
-
-def _batch_axes(arg_info):
-    spec = arg_info.sharding.spec if arg_info.sharding else P()
-    return spec[0] if len(spec) else None
+from lightning_generative_models_tpu.ops.common import (  # noqa: E402
+    batch_axes as _batch_axes,
+    on_tpu as _on_tpu,
+)
 
 
 _FWD_RULE = "b n c, c, c q, t h d m, e c, c, c -> b n c"
@@ -673,13 +692,6 @@ fused_linear_attention.defvjp(_fla_fwd, _fla_bwd)
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
-
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
 
 def linear_attention(
     x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,

@@ -161,7 +161,13 @@ class Trainer:
             state = self._fit_loop(state, start_epoch)
         finally:
             signal.signal(signal.SIGTERM, prev_handler)
-            self.ckpt.save_last(state, self.global_step, getattr(self, "epoch", 0))
+            # Interrupt/crash save with the CURRENT epoch (retry semantics).
+            # Skipped when _fit_loop already saved at this step — otherwise
+            # it would overwrite the boundary save's epoch+1 on every normal
+            # exit and resume would retrain the finished final epoch.
+            if getattr(self, "_last_saved_step", None) != self.global_step:
+                self.ckpt.save_last(
+                    state, self.global_step, getattr(self, "epoch", 0))
         return state
 
     # -- internals -----------------------------------------------------------
@@ -318,7 +324,8 @@ class Trainer:
             self.epoch = epoch
             for batch in self._train_batches(epoch):
                 if self.profile_steps and self.global_step >= self.profile_steps[0] \
-                        and not getattr(self, "_tracing", False):
+                        and not getattr(self, "_tracing", False) \
+                        and not getattr(self, "_profiled", False):
                     jax.profiler.start_trace(str(self.experiment_dir / "profile"))
                     self._tracing = True
                 t0 = time.perf_counter()
@@ -339,6 +346,7 @@ class Trainer:
                         and self.global_step > self.profile_steps[1]:
                     jax.profiler.stop_trace()
                     self._tracing = False
+                    self._profiled = True  # one window per run, not per step
 
                 if crossed(self.sample_every_n_steps, prev_step, self.global_step):
                     self._log_samples(state)
@@ -356,8 +364,15 @@ class Trainer:
                 # mid-epoch SIGTERM/finally save keeps the current epoch so an
                 # interrupted epoch is retried).
                 self.ckpt.save_last(state, self.global_step, epoch + 1)
+                self._last_saved_step = self.global_step
 
         self._validate(state)
+        if not self._should_stop:
+            # Normal completion: record the NEXT epoch even when the val
+            # cadence skipped the last boundary save, so resume never
+            # retrains a finished epoch.
+            self.ckpt.save_last(state, self.global_step, self.epoch + 1)
+            self._last_saved_step = self.global_step
         return state
 
     def _validate(self, state: Any) -> Dict[str, float]:

@@ -467,3 +467,31 @@ def test_fused_gn_spmd_batch_sharded(rng):
     for gs, gr in zip(grads, ref_grads):
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_fused_linear_attention_head_scale_disparity(rng):
+    """Regression: with one head's qkv columns scaled far above the others,
+    a row-global softmax stabilizer underflowed the small heads' segments
+    to 0/0 NaN. The per-head-max stabilizer must stay finite and match XLA."""
+    FLA, args = _fla_args(rng, n=64, c=64)
+    qkv = np.asarray(args[2]).copy()
+    # head 0's q columns dominate: logits gap >> 88 (f32 exp underflow)
+    qkv[:, :32] *= 300.0
+    args = (args[0], args[1], jnp.asarray(qkv), *args[3:])
+    ref = FLA.linear_attention_xla(*args, heads=4, dim_head=32,
+                                   dtype=jnp.float32)
+    assert np.isfinite(np.asarray(ref)).all()
+    old = FLA._INTERPRET
+    FLA._INTERPRET = jax.default_backend() != "tpu"
+    try:
+        out = FLA.fused_linear_attention(*args, 4, 32, jnp.float32)
+        g = jax.grad(
+            lambda *a: jnp.sum(
+                FLA.fused_linear_attention(*a, 4, 32, jnp.float32) ** 2)
+        )(*args)
+    finally:
+        FLA._INTERPRET = old
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)
