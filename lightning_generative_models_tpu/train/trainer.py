@@ -306,6 +306,10 @@ class Trainer:
         return prefetch_to_device(it, self.mesh)
 
     def _fit_loop(self, state: Any, start_epoch: int) -> Any:
+        # If every epoch is already done (resume of a completed run), the
+        # loop body never sets self.epoch; the end-of-run save below then
+        # re-records start_epoch.
+        self.epoch = start_epoch - 1
         step_times: List[float] = []
         # One dispatch consumes unroll_steps batches of accumulate_grad_batches
         # micro-batches each.

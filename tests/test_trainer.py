@@ -118,3 +118,29 @@ def test_unroll_steps_matches_single_dispatch(tmp_path):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-7)
+
+
+def test_completed_run_resume_does_not_retrain(tmp_path):
+    """After normal completion the last checkpoint records the NEXT epoch,
+    so resuming a finished run performs zero additional train steps
+    (regression: the finally-block interrupt save used to overwrite the
+    epoch+1 boundary save and retrain the final epoch)."""
+    dm = make_dm(16)
+    t1 = Trainer(
+        make_model(), dm, tmp_path, max_epochs=2, log_every_n_steps=1,
+        sample_every_n_steps=0, check_val_every_n_epoch=99,
+    )
+    t1.fit()
+    steps_after_run = t1.global_step
+    assert steps_after_run > 0
+
+    meta = json.loads(
+        (tmp_path / "checkpoints" / "checkpoint_meta_last.json").read_text())
+    assert meta["epoch"] == 2  # NEXT epoch, not the finished one
+
+    t2 = Trainer(
+        make_model(), dm, tmp_path, max_epochs=2, log_every_n_steps=1,
+        sample_every_n_steps=0, check_val_every_n_epoch=99,
+    )
+    t2.fit(resume=True)
+    assert t2.global_step == steps_after_run  # no retraining
