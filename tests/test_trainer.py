@@ -144,3 +144,17 @@ def test_completed_run_resume_does_not_retrain(tmp_path):
     )
     t2.fit(resume=True)
     assert t2.global_step == steps_after_run  # no retraining
+
+
+def test_profiler_window_fires_once(tmp_path):
+    """Regression: after the profile window ended, the start condition
+    re-fired every step (no latch), dumping one trace per step."""
+    dm = make_dm(16)
+    t = Trainer(
+        make_model(), dm, tmp_path, max_steps=6, log_every_n_steps=1,
+        sample_every_n_steps=0, check_val_every_n_epoch=99,
+        profile_steps=(1, 2),
+    )
+    t.fit()
+    dumps = list((tmp_path / "profile").glob("plugins/profile/*"))
+    assert len(dumps) == 1, f"expected one trace dump, got {len(dumps)}"
