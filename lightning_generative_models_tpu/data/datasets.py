@@ -100,6 +100,70 @@ def _load_cifar10(root: Path, train: bool) -> Optional[Tuple[np.ndarray, np.ndar
     return np.concatenate(imgs), np.concatenate(lbls)
 
 
+def _folder_labels(root: Path, files: list[Path]) -> Optional[np.ndarray]:
+    """Real class labels for an image folder, aligned with ``files`` order.
+
+    The reference carried real targets for these datasets (Flowers102's 102
+    classes and CelebA's attrs via torchvision, reference
+    data/datamodule.py:140-178); an all-zero fallback silently degenerates
+    conditional models. Label sources, in priority order:
+
+    1. ``labels.txt`` — generic convention: one ``<filename> <int>`` per line.
+    2. ``imagelabels.mat`` — Flowers102's official 1-indexed label vector,
+       indexed by the number in ``image_NNNNN.jpg``; returned 0-indexed.
+    3. ``list_attr_celeba.txt`` — CelebA's attribute file; the ``Male``
+       attribute becomes the binary class (NUM_CLASSES["CelebA"] == 2).
+
+    Returns None when no label source exists.
+    """
+    labels_txt = _find(root, ["labels.txt"])
+    if labels_txt is not None:
+        table = {}
+        for line in Path(labels_txt).read_text().splitlines():
+            parts = line.split()
+            if len(parts) >= 2 and parts[-1].lstrip("-").isdigit():
+                table[parts[0]] = int(parts[-1])
+        if table:
+            return np.asarray(
+                [table.get(p.name, 0) for p in files], dtype=np.int32
+            )
+
+    mat_path = _find(root, ["imagelabels.mat"])
+    if mat_path is not None:
+        try:
+            from scipy.io import loadmat
+
+            flat = np.asarray(loadmat(str(mat_path))["labels"]).ravel()
+            out = np.zeros(len(files), dtype=np.int32)
+            for i, p in enumerate(files):
+                stem = p.stem  # image_00001 -> index 0
+                num = stem.rsplit("_", 1)[-1]
+                if num.isdigit() and 1 <= int(num) <= len(flat):
+                    out[i] = int(flat[int(num) - 1]) - 1  # 1-indexed -> 0
+            return out
+        except Exception as e:
+            logger.warning("failed to parse %s: %s", mat_path, e)
+
+    attr_path = _find(root, ["list_attr_celeba.txt"])
+    if attr_path is not None:
+        try:
+            lines = Path(attr_path).read_text().splitlines()
+            attr_names = lines[1].split()
+            col = attr_names.index("Male")
+            table = {}
+            for line in lines[2:]:
+                parts = line.split()
+                if len(parts) == len(attr_names) + 1:
+                    table[parts[0]] = 1 if int(parts[1 + col]) > 0 else 0
+            return np.asarray(
+                [table.get(p.name, 0) for p in files], dtype=np.int32
+            )
+        except Exception as e:
+            logger.warning("failed to parse %s: %s", attr_path, e)
+
+    return None
+
+
 def _load_image_folder(
     root: Path, train: bool, size: Tuple[int, int, int]
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
@@ -113,9 +177,21 @@ def _load_image_folder(
     except ImportError:
         logger.warning("PIL unavailable; cannot decode image folder %s", root)
         return None
+    all_labels = _folder_labels(root, files)
+    if all_labels is None:
+        logger.warning(
+            "Image folder %s has no label source (labels.txt / "
+            "imagelabels.mat / list_attr_celeba.txt); labels are all zero — "
+            "conditional models trained on this data will silently collapse "
+            "to a single class.",
+            root,
+        )
+        all_labels = np.zeros(len(files), dtype=np.int32)
     # 90/10 deterministic file-level split between train and eval pools.
     cut = max(1, int(len(files) * 0.9))
-    files = files[:cut] if train else files[cut:]
+    files, labels = (
+        (files[:cut], all_labels[:cut]) if train else (files[cut:], all_labels[cut:])
+    )
     h, w, c = size
     out = np.empty((len(files), h, w, c), dtype=np.uint8)
     for i, p in enumerate(files):
@@ -127,8 +203,7 @@ def _load_image_folder(
         img = img.crop((left, top, left + side, top + side)).resize((w, h))
         arr = np.asarray(img, dtype=np.uint8)
         out[i] = arr[..., None] if c == 1 else arr
-    labels = np.zeros(len(files), dtype=np.int32)
-    return out, labels
+    return out, np.ascontiguousarray(labels)
 
 
 def synthetic_dataset(

@@ -55,8 +55,21 @@ class ExperimentLogger:
                 logger.warning("wandb unavailable (%s); logging locally only", e)
 
         if config is not None:
-            with open(self.experiment_dir / "config.json", "w") as f:
+            config_path = self.experiment_dir / "config.json"
+            with open(config_path, "w") as f:
                 json.dump(config, f, indent=2, default=str)
+            if self._wandb is not None:
+                # Reference parity: LogArtifactCallback uploads the saved
+                # config file as a W&B artifact at train start
+                # (reference utils/callbacks.py:10-17).
+                try:
+                    import wandb
+
+                    artifact = wandb.Artifact("experiment_config", type="config")
+                    artifact.add_file(str(config_path))
+                    self._wandb.log_artifact(artifact)
+                except Exception as e:
+                    logger.warning("wandb config artifact upload failed: %s", e)
 
     def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
         record = {"step": int(step), "time": round(time.time() - self._t0, 3)}

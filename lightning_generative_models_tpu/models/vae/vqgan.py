@@ -93,7 +93,16 @@ class VQGAN(VQVAE):
 
     # -- helpers -----------------------------------------------------------
     def _last_decoder_kernel_path(self, dec_params) -> str:
-        convs = sorted(k for k in dec_params if k.startswith("ConvTranspose"))
+        # Sort by the numeric suffix, not lexicographically: with >=10
+        # transpose convs "ConvTranspose_10" sorts before "ConvTranspose_2"
+        # and the adaptive weight would silently use the wrong layer.
+        def index(k: str) -> int:
+            _, _, suffix = k.rpartition("_")
+            return int(suffix) if suffix.isdigit() else -1
+
+        convs = sorted(
+            (k for k in dec_params if k.startswith("ConvTranspose")), key=index
+        )
         return convs[-1]
 
     def _forward_g(self, params, mutable, x, train):

@@ -135,6 +135,7 @@ class Trainer:
 
     # -- public ------------------------------------------------------------
     def fit(self, ckpt_path: Optional[str] = None, resume: bool = False) -> Any:
+        self._warn_degenerate_labels()
         rng = seed_everything(self.seed)
         init_rng, self._run_rng = jax.random.split(rng)
 
@@ -273,6 +274,31 @@ class Trainer:
         except Exception as e:  # summaries must never kill training
             logger.warning("module tabulate failed: %s", e)
 
+    def _warn_degenerate_labels(self) -> None:
+        """A conditional model fed all-zero labels from real (non-synthetic)
+        data almost always means a missing label file (see
+        data/datasets._folder_labels): training silently collapses to a
+        single class. Warn loudly before the run starts."""
+        num_classes = getattr(self.model, "num_classes", 0)
+        if not num_classes or num_classes <= 1:
+            return
+        try:
+            self.datamodule.setup()
+        except Exception:
+            return
+        labels = getattr(self.datamodule, "train_labels", None)
+        if labels is None or getattr(self.datamodule, "is_synthetic", True):
+            return
+        if len(labels) and not np.any(labels):
+            logger.warning(
+                "%s is conditional (num_classes=%d) but every training label "
+                "is 0. If this dataset is an image folder, add a label source "
+                "(labels.txt / imagelabels.mat / list_attr_celeba.txt) — "
+                "otherwise the model degenerates to one class.",
+                type(self.model).__name__,
+                num_classes,
+            )
+
     def _handle_sigterm(self, signum, frame):  # pragma: no cover - signal path
         logger.warning("SIGTERM received; will checkpoint and stop.")
         self._should_stop = True
@@ -370,6 +396,15 @@ class Trainer:
                 self.ckpt.save_last(state, self.global_step, epoch + 1)
                 self._last_saved_step = self.global_step
 
+        if self._interrupted:
+            # Preemption (SIGTERM): save FIRST and skip validation/sampling
+            # entirely — a DDPM validation (64-image grid + FID) can eat a
+            # preemptible TPU VM's ~30 s grace window and the checkpoint
+            # would never land. Current epoch is recorded so the interrupted
+            # epoch is retried on resume.
+            self.ckpt.save_last(state, self.global_step, self.epoch)
+            self._last_saved_step = self.global_step
+            return state
         self._validate(state)
         if not self._should_stop:
             # Normal completion: record the NEXT epoch even when the val

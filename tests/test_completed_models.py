@@ -138,6 +138,18 @@ def test_began_equilibrium(rng):
     assert imgs.shape == (2, 28, 28, 1)
 
 
+def test_vqgan_last_kernel_numeric_sort(rng):
+    """Regression: lexicographic sort put ConvTranspose_10 before
+    ConvTranspose_2, so a >=10-transpose-conv decoder got the wrong 'last
+    layer' for the taming adaptive weight."""
+    model = load_model(
+        {"name": "VQGAN", "args": {"img_channels": 3, "img_size": 32}}
+    )
+    fake_params = {f"ConvTranspose_{i}": None for i in range(12)}
+    fake_params["Conv_0"] = None
+    assert model._last_decoder_kernel_path(fake_params) == "ConvTranspose_11"
+
+
 def test_vqgan_phases(rng):
     model = load_model(
         {

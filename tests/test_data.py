@@ -194,3 +194,99 @@ def test_image_folder_png_roundtrip(tmp_path):
     # are already square at native size, so decode is bit-exact.
     assert out.shape == (9, 64, 64, 3)
     np.testing.assert_array_equal(out, native[:9])
+
+
+def _make_folder(tmp_path, names):
+    from PIL import Image
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rs = np.random.RandomState(0)
+    for name in names:
+        Image.fromarray(
+            rs.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        ).save(root / name)
+    return root
+
+
+def test_image_folder_labels_txt(tmp_path):
+    """Generic labels.txt convention: '<filename> <int>' per line (reference
+    analog: real targets via torchvision, data/datamodule.py:140-178)."""
+    pytest.importorskip("PIL")
+    from lightning_generative_models_tpu.data.datasets import _load_image_folder
+
+    names = [f"{i:03d}.png" for i in range(10)]
+    root = _make_folder(tmp_path, names)
+    (root / "labels.txt").write_text(
+        "\n".join(f"{n} {i % 4}" for i, n in enumerate(names))
+    )
+    _, train_labels = _load_image_folder(root, train=True, size=(16, 16, 3))
+    _, val_labels = _load_image_folder(root, train=False, size=(16, 16, 3))
+    np.testing.assert_array_equal(train_labels, [i % 4 for i in range(9)])
+    np.testing.assert_array_equal(val_labels, [9 % 4])
+
+
+def test_image_folder_flowers102_mat(tmp_path):
+    """Flowers102 imagelabels.mat: 1-indexed labels keyed by the number in
+    image_NNNNN.jpg; loaded 0-indexed."""
+    pytest.importorskip("PIL")
+    pytest.importorskip("scipy")
+    from scipy.io import savemat
+
+    from lightning_generative_models_tpu.data.datasets import _load_image_folder
+
+    names = [f"image_{i + 1:05d}.jpg" for i in range(10)]
+    root = _make_folder(tmp_path, names)
+    # Official format: 1-indexed uint8 row vector under key 'labels'.
+    savemat(
+        str(root / "imagelabels.mat"),
+        {"labels": np.arange(1, 11, dtype=np.uint8)[None, :]},
+    )
+    _, labels = _load_image_folder(root, train=True, size=(16, 16, 3))
+    np.testing.assert_array_equal(labels, np.arange(9))
+
+
+def test_image_folder_celeba_attrs(tmp_path):
+    """CelebA list_attr_celeba.txt: the Male attribute becomes the binary
+    class (NUM_CLASSES['CelebA'] == 2)."""
+    pytest.importorskip("PIL")
+    from lightning_generative_models_tpu.data.datasets import _load_image_folder
+
+    names = [f"{i:06d}.jpg" for i in range(10)]
+    root = _make_folder(tmp_path, names)
+    attrs = ["Bald", "Male", "Young"]
+    lines = [str(len(names)), " ".join(attrs)]
+    for i, n in enumerate(names):
+        vals = ["-1", "1" if i % 2 else "-1", "1"]
+        lines.append(f"{n} {' '.join(vals)}")
+    (root / "list_attr_celeba.txt").write_text("\n".join(lines))
+    _, labels = _load_image_folder(root, train=True, size=(16, 16, 3))
+    np.testing.assert_array_equal(labels, [i % 2 for i in range(9)])
+
+
+def test_conditional_model_all_zero_labels_warns(tmp_path, caplog):
+    """A conditional model on real data with all-zero labels gets a loud
+    warning (missing label file ⇒ silent single-class collapse)."""
+    import logging
+
+    from lightning_generative_models_tpu.registry import load_model
+    from lightning_generative_models_tpu.train.trainer import Trainer
+
+    model = load_model(
+        {"name": "CGAN", "args": {"img_channels": 1, "img_size": 28,
+                                  "latent_dim": 8, "num_classes": 10}}
+    )
+    dm = DataModule(
+        name="MNIST", img_size=28, img_channels=1, batch_size=16,
+        synthetic_size=64,
+    )
+    dm.setup()
+    dm.train_labels = np.zeros_like(dm.train_labels)
+    dm.is_synthetic = False  # simulate a real on-disk dataset
+    trainer = Trainer(
+        model, dm, tmp_path, max_steps=1, sample_every_n_steps=0,
+        check_val_every_n_epoch=99,
+    )
+    with caplog.at_level(logging.WARNING):
+        trainer._warn_degenerate_labels()
+    assert any("every training label is 0" in r.message for r in caplog.records)

@@ -109,12 +109,24 @@ class _WandbStub(types.ModuleType):
             def log(self, payload, step=None):
                 stub.logged.append((payload, step))
 
+            def log_artifact(self, artifact):
+                stub.artifacts.append(artifact)
+
             def finish(self):
                 stub.finished = True
 
             id = "stub-run-id"
 
         self._run_cls = _Run
+        self.artifacts = []
+
+    class Artifact:
+        def __init__(self, name, type=None):
+            self.name, self.type = name, type
+            self.files = []
+
+        def add_file(self, path):
+            self.files.append(path)
 
     def init(self, **kwargs):
         self.init_kwargs = kwargs
@@ -135,8 +147,15 @@ def test_wandb_mirroring_through_stub(tmp_path, monkeypatch):
 
     from lightning_generative_models_tpu.experiment.logger import ExperimentLogger
 
-    lg = ExperimentLogger(tmp_path, use_wandb=True, project="test-proj")
+    lg = ExperimentLogger(
+        tmp_path, use_wandb=True, project="test-proj",
+        config={"model": {"name": "GAN"}},
+    )
     assert lg._wandb is not None
+    # Config uploaded as a W&B artifact (reference utils/callbacks.py:10-17).
+    assert len(stub.artifacts) == 1
+    assert stub.artifacts[0].type == "config"
+    assert stub.artifacts[0].files == [str(tmp_path / "config.json")]
 
     lg.log_metrics({"loss": 1.5}, step=3)
     lg.log_image("grid", np.zeros((8, 8, 3), np.uint8), step=3)

@@ -146,6 +146,41 @@ def test_completed_run_resume_does_not_retrain(tmp_path):
     assert t2.global_step == steps_after_run  # no retraining
 
 
+def test_sigterm_saves_first_and_skips_validation(tmp_path):
+    """Preemption path: on SIGTERM the trainer must checkpoint immediately
+    and skip validation/sampling entirely (a DDPM validation can eat a
+    preemptible TPU VM's ~30 s grace window). Regression for the
+    unconditional post-loop _validate call."""
+    dm = make_dm(16)
+    t = Trainer(
+        make_model(), dm, tmp_path, max_steps=50, log_every_n_steps=1,
+        sample_every_n_steps=0, check_val_every_n_epoch=1,
+    )
+
+    real_step = t._train_step
+    calls = {"n": 0}
+
+    def step_then_sigterm(*args):
+        calls["n"] += 1
+        out = real_step(*args)
+        if calls["n"] == 2:  # signal lands mid-epoch, after the 2nd step
+            t._handle_sigterm(None, None)
+        return out
+
+    t._train_step = step_then_sigterm
+    t.fit()
+
+    assert t.global_step == 2
+    assert (tmp_path / "checkpoints" / "last").exists()
+    meta = json.loads(
+        (tmp_path / "checkpoints" / "checkpoint_meta_last.json").read_text())
+    assert meta["epoch"] == 0  # current epoch: interrupted epoch is retried
+    # No validation ran and no sample grids were written after the signal.
+    records = [json.loads(line) for line in open(tmp_path / "metrics.jsonl")]
+    assert not any("val_loss" in r for r in records)
+    assert not list((tmp_path / "samples").glob("*.png"))
+
+
 def test_profiler_window_fires_once(tmp_path):
     """Regression: after the profile window ended, the start condition
     re-fired every step (no latch), dumping one trace per step."""
