@@ -45,6 +45,29 @@ def _run_chain(step_fn, state, batch_dev, rng, n: int):
     return state
 
 
+def _min_slope(run_chain, n1: int, n2: int, reps: int) -> float:
+    """Steady-state per-unit time from repeated two-segment timings.
+
+    Times an n1-unit and an n2-unit chain per repetition; contention on the
+    shared chip is strictly additive, so min() across reps estimates each
+    segment's noise-free duration, and differencing the per-segment minima
+    cancels the fixed dispatch/readback latency. (Min-of-slope-estimates is
+    NOT used: a contention spike inside the subtracted n1 segment deflates
+    that rep's slope, and a min across reps preferentially selects those
+    deflated samples, overstating throughput.)
+    """
+    seg1, seg2 = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_chain(n1)
+        t1 = time.perf_counter()
+        run_chain(n2)
+        t2 = time.perf_counter()
+        seg1.append(t1 - t0)
+        seg2.append(t2 - t1)
+    return (min(seg2) - min(seg1)) / (n2 - n1)
+
+
 def bench_dcgan(steps: int, batch: int = 128):
     """Slope-based steady-state timing: time(N2 steps) - time(N1 steps)
     divided by (N2 - N1) cancels the fixed dispatch/readback latency."""
@@ -76,22 +99,13 @@ def bench_dcgan(steps: int, batch: int = 128):
     batch_dev = jax.tree_util.tree_map(jax.device_put, batch_np)
 
     step_fn = jax.jit(model.train_step, donate_argnums=0)
-    state = _run_chain(step_fn, state, batch_dev, rng, 3)  # compile + warmup
+    holder = {"state": _run_chain(step_fn, state, batch_dev, rng, 3)}  # warmup
 
-    # Min of 3 slope estimates: tenant contention on the shared chip and
-    # tunnel jitter are strictly additive, so the minimum is the unbiased
-    # estimate of the machine's noise-free steady-state step time (a median
-    # can still fall entirely inside a multi-second contention window).
+    def chain(n):
+        holder["state"] = _run_chain(step_fn, holder["state"], batch_dev, rng, n)
+
     n1, n2 = max(steps // 5, 1), steps
-    estimates = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        state = _run_chain(step_fn, state, batch_dev, rng, n1)
-        t1 = time.perf_counter()
-        state = _run_chain(step_fn, state, batch_dev, rng, n2)
-        t2 = time.perf_counter()
-        estimates.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
-    per_step = max(float(np.min(estimates)), 1e-9)
+    per_step = max(_min_slope(chain, n1, n2, reps=3), 1e-9)
     return batch / per_step, per_step
 
 
@@ -123,17 +137,13 @@ def bench_ddim50(batch: int = 64, dim: int = 64, img: int = 32):
         float(out[0, 0, 0, 0])  # D2H readback = real barrier
 
     run(1, 0)  # compile + warmup
-    k = 3
-    estimates = []
-    for rep in range(3):
-        t0 = time.perf_counter()
-        run(1, 10 * rep)
-        t1 = time.perf_counter()
-        run(1 + k, 100 * rep)
-        t2 = time.perf_counter()
-        estimates.append(((t2 - t1) - (t1 - t0)) / k)
-    # min, not median: additive contention noise (see bench_dcgan).
-    per_batch = max(float(np.min(estimates)), 1e-9)
+    seeds = iter(range(1, 100))
+
+    def chain(n):
+        run(n, 10 * next(seeds))
+
+    # Per-segment minima over 3 reps (additive contention; see _min_slope).
+    per_batch = max(_min_slope(chain, 1, 4, reps=3), 1e-9)
     return batch / per_batch
 
 
@@ -168,14 +178,13 @@ def bench_dcgan_unrolled(steps: int = 12, batch: int = 128, unroll: int = 4):
             state, m = model.train_step(state, b, r)
         return state, m
 
-    state = _run_chain(step_fn, state, batch_dev, rng, 3)
+    holder = {"state": _run_chain(step_fn, state, batch_dev, rng, 3)}
+
+    def chain(n):
+        holder["state"] = _run_chain(step_fn, holder["state"], batch_dev, rng, n)
+
     n1, n2 = max(steps // 5, 1), steps
-    t0 = time.perf_counter()
-    state = _run_chain(step_fn, state, batch_dev, rng, n1)
-    t1 = time.perf_counter()
-    _run_chain(step_fn, state, batch_dev, rng, n2)
-    t2 = time.perf_counter()
-    per_step = max(((t2 - t1) - (t1 - t0)) / ((n2 - n1) * unroll), 1e-9)
+    per_step = max(_min_slope(chain, n1, n2, reps=2) / unroll, 1e-9)
     return batch / per_step
 
 
@@ -195,18 +204,13 @@ def bench_ddpm_train(steps: int = 30, batch: int = 128):
     }
     batch_dev = jax.tree_util.tree_map(jax.device_put, batch_np)
     step_fn = jax.jit(model.train_step, donate_argnums=0)
-    state = _run_chain(step_fn, state, batch_dev, rng, 3)
-    # min of 2 slope estimates: additive contention noise (see bench_dcgan).
+    holder = {"state": _run_chain(step_fn, state, batch_dev, rng, 3)}
+
+    def chain(n):
+        holder["state"] = _run_chain(step_fn, holder["state"], batch_dev, rng, n)
+
     n1, n2 = max(steps // 5, 1), steps
-    estimates = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        state = _run_chain(step_fn, state, batch_dev, rng, n1)
-        t1 = time.perf_counter()
-        state = _run_chain(step_fn, state, batch_dev, rng, n2)
-        t2 = time.perf_counter()
-        estimates.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
-    per_step = max(float(np.min(estimates)), 1e-9)
+    per_step = max(_min_slope(chain, n1, n2, reps=2), 1e-9)
     return batch / per_step
 
 

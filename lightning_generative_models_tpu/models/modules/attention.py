@@ -22,9 +22,11 @@ TPU design (round-2 rewrite — attention was 43% of UNet forward time):
 Checkpoint compatibility: ``Attention`` keeps round 1's parameter tree
 (same ``nn.Conv`` projections, same ``mem_kv`` shape). ``LinearAttention``
 does NOT — the fused-kernel rewrite flattened its parameters (``norm_g``,
-``qkv_kernel``, ``mem_kv``, ``out_kernel``/``out_bias``, ``out_norm_g``),
-so DDPM checkpoints written before the rewrite cannot be restored into the
-current model.
+``qkv_kernel``, ``mem_kv``, ``out_kernel``/``out_bias``, ``out_norm_g``).
+Pre-rewrite DDPM checkpoints are migrated automatically on restore
+(:func:`migrate_pre_fused_linear_attention`, applied by
+``CheckpointManager.restore`` when the stored tree mismatches) — the
+transform is a pure reshape, the math is unchanged.
 """
 
 from __future__ import annotations
@@ -35,6 +37,48 @@ import jax.numpy as jnp
 
 from lightning_generative_models_tpu.ops.attention import scaled_dot_product_attention
 from lightning_generative_models_tpu.ops.linear_attention import linear_attention
+
+
+# Round-1 LinearAttention parameter layout (flax auto-named submodules).
+# Unique to the pre-rewrite LinearAttention: the full Attention module has
+# no second RMSNorm, so this key set cannot match anything else.
+_PRE_FUSED_KEYS = frozenset(
+    {"RMSNorm_0", "Conv_0", "mem_kv", "Conv_1", "RMSNorm_1"}
+)
+_FLAT_KEYS = frozenset(
+    {"norm_g", "qkv_kernel", "mem_kv", "out_kernel", "out_bias", "out_norm_g"}
+)
+
+
+def has_pre_fused_linear_attention(tree) -> bool:
+    """True if any subtree uses the round-1 LinearAttention layout."""
+    if not isinstance(tree, dict):
+        return False
+    if set(tree) == _PRE_FUSED_KEYS:
+        return True
+    return any(has_pre_fused_linear_attention(v) for v in tree.values())
+
+
+def migrate_pre_fused_linear_attention(tree):
+    """Migrate round-1 LinearAttention parameter subtrees
+    (``RMSNorm_0/Conv_0/mem_kv/Conv_1/RMSNorm_1``) to the flat post-rewrite
+    layout. A pure reshape — the 1x1 conv kernels drop their spatial dims —
+    so restored weights are numerically identical; the q/k softmaxes,
+    memory-KV concat and scaling are unchanged between the layouts."""
+    if not isinstance(tree, dict):
+        return tree
+    if set(tree) == _PRE_FUSED_KEYS and isinstance(tree.get("Conv_0"), dict):
+        qkv = tree["Conv_0"]["kernel"]
+        outk = tree["Conv_1"]["kernel"]
+        return {
+            "norm_g": tree["RMSNorm_0"]["g"],
+            "qkv_kernel": qkv.reshape(qkv.shape[-2], qkv.shape[-1]),
+            "mem_kv": tree["mem_kv"],
+            "out_kernel": outk.reshape(outk.shape[-2], outk.shape[-1]),
+            "out_bias": tree["Conv_1"]["bias"],
+            "out_norm_g": tree["RMSNorm_1"]["g"],
+        }
+    return {k: migrate_pre_fused_linear_attention(v) for k, v in tree.items()}
 
 
 class RMSNorm(nn.Module):

@@ -109,14 +109,18 @@ def _fwd_kernel(
     # lane-segment sums. x3 keeps rows separate for the token reduction.
     x3 = x.reshape(R, n, c)
     tok_sum = jnp.sum(x3, axis=1)                           # [R, c]
-    tok_sq = jnp.sum(x3 * x3, axis=1)                       # [R, c]
     gsum = jnp.dot(tok_sum, seg, preferred_element_type=jnp.float32)  # [R, G]
-    gsq = jnp.dot(tok_sq, seg, preferred_element_type=jnp.float32)    # [R, G]
     mean = gsum * inv_cnt
-    var = gsq * inv_cnt - mean * mean
-    rstd = jax.lax.rsqrt(var + eps)                         # [R, G]
     # broadcast back to lanes: [R, G] @ seg^T -> [R, c]
     mean_c = jnp.dot(mean, seg.T, preferred_element_type=jnp.float32)
+    # Variance via a second CENTERED pass in the same VMEM slab:
+    # E[x^2] - mean^2 cancels catastrophically when |mean| >> std and
+    # diverges from the two-pass XLA oracle.
+    diff = x3 - mean_c[:, None, :]
+    tok_sq = jnp.sum(diff * diff, axis=1)                   # [R, c]
+    gsq = jnp.dot(tok_sq, seg, preferred_element_type=jnp.float32)    # [R, G]
+    var = gsq * inv_cnt
+    rstd = jax.lax.rsqrt(var + eps)                         # [R, G]
     rstd_c = jnp.dot(rstd, seg.T, preferred_element_type=jnp.float32)
 
     gamma = gamma_ref[0].astype(jnp.float32)                # [1, c]
@@ -188,13 +192,15 @@ def _bwd_kernel(
     seg = _seg_matrix(c, groups)
     x3 = x.reshape(R, n, c)
     tok_sum = jnp.sum(x3, axis=1)
-    tok_sq = jnp.sum(x3 * x3, axis=1)
     gsum = jnp.dot(tok_sum, seg, preferred_element_type=jnp.float32)
-    gsq = jnp.dot(tok_sq, seg, preferred_element_type=jnp.float32)
     mean = gsum * inv_cnt
-    var = gsq * inv_cnt - mean * mean
-    rstd = jax.lax.rsqrt(var + eps)
     mean_c = jnp.dot(mean, seg.T, preferred_element_type=jnp.float32)
+    # Centered second pass (same rationale as _fwd_kernel).
+    diffc = x3 - mean_c[:, None, :]
+    tok_sq = jnp.sum(diffc * diffc, axis=1)
+    gsq = jnp.dot(tok_sq, seg, preferred_element_type=jnp.float32)
+    var = gsq * inv_cnt
+    rstd = jax.lax.rsqrt(var + eps)
     rstd_c = jnp.dot(rstd, seg.T, preferred_element_type=jnp.float32)
 
     gamma = gamma_ref[0].astype(jnp.float32)

@@ -693,6 +693,21 @@ fused_linear_attention.defvjp(_fla_fwd, _fla_bwd)
 # dispatch
 # ---------------------------------------------------------------------------
 
+def _fused_path_fits(b: int, n: int, c: int, hd: int) -> bool:
+    """VMEM gate for the fused kernel: bound the LARGER of the forward and
+    backward per-grid-step working sets by Mosaic's ~16 MB scoped-VMEM stack
+    limit (OOM observed at ~25 MB estimated). The backward picks rows
+    independently and holds a bigger live set (recomputed activations,
+    d-buffers, [hd,hd] context/grad blocks); gating on the forward alone
+    let untuned shapes (e.g. n=4096 single-row) pass and then compile-fail
+    at runtime with no fallback."""
+    rows_f = _rows_per_step(b, n, target_tokens=4096)
+    rows_b = _rows_per_step(b, n, target_tokens=2048)
+    fwd_bytes = rows_f * n * (c + 7 * hd) * 4
+    bwd_bytes = rows_b * n * (6 * c + 15 * hd) * 4 + 4 * rows_b * hd * hd * 4
+    return max(fwd_bytes, bwd_bytes) < 16 * 1024 * 1024
+
+
 def linear_attention(
     x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
     heads: int, dim_head: int, dtype=jnp.float32,
@@ -701,11 +716,8 @@ def linear_attention(
     """Fused Pallas path on TPU (VMEM-resident block), XLA elsewhere."""
     b, n, c = x.shape
     hd = heads * dim_head
-    # VMEM budget: the per-step working set is ~rows*n * (c + 3hd + 4hd) f32
-    # (rows batch-blocks small-n stages to amortize per-grid-step overhead).
-    rows = _rows_per_step(b, n, target_tokens=4096)
-    fits = rows * n * (c + 7 * hd) * 4 < 48 * 1024 * 1024
-    if use_pallas and (_on_tpu() or _INTERPRET) and fits and hd % 128 == 0:
+    if use_pallas and (_on_tpu() or _INTERPRET) and hd % 128 == 0 \
+            and _fused_path_fits(b, n, c, hd):
         return fused_linear_attention(
             x, g0, qkv_kernel, mem_kv, out_kernel, out_bias, g1,
             heads, dim_head, dtype, residual,

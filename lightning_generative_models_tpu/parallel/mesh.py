@@ -118,8 +118,21 @@ def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (params / optimizer state) across the mesh."""
+    """Replicate a pytree (params / optimizer state) across the mesh.
+
+    Multi-host: ``jax.device_put`` cannot target non-addressable devices, so
+    the global replicated array is assembled from each host's (identical)
+    local copy — every process must hold the same values (true for seeded
+    init and checkpoint restores).
+    """
     sharding = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 

@@ -96,11 +96,68 @@ class CheckpointManager:
         if not path.exists():
             raise FileNotFoundError(f"No checkpoint at {path}")
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template_state)
-        state = self._checkpointer.restore(path, abstract)
+        try:
+            state = self._checkpointer.restore(path, abstract)
+        except Exception as err:
+            state = self._restore_with_migration(path, abstract, err)
         meta = self._read_meta(which) or {}
         step = meta.get("step", meta.get("last_step", 0))
         epoch = meta.get("epoch", meta.get("last_epoch", 0))
         return state, step, epoch
+
+    def _restore_with_migration(self, path: Path, abstract: Any, err: Exception):
+        """Typed restore failed: if the stored tree uses the pre-round-2
+        LinearAttention layout, migrate it (pure reshape) and rebuild the
+        state by path lookup; otherwise re-raise with a diagnosable message
+        (models/modules/attention.py docstring: the fused-kernel rewrite
+        flattened LinearAttention's parameters)."""
+        from lightning_generative_models_tpu.models.modules.attention import (
+            has_pre_fused_linear_attention,
+            migrate_pre_fused_linear_attention,
+        )
+
+        try:
+            raw = self._checkpointer.restore(path)  # structure as saved
+        except Exception:
+            raise err
+        if not has_pre_fused_linear_attention(raw):
+            raise err
+        logger.warning(
+            "Checkpoint %s uses the pre-rewrite LinearAttention parameter "
+            "layout; migrating to the flat layout (pure reshape).", path
+        )
+        migrated = migrate_pre_fused_linear_attention(raw)
+        try:
+            flat, treedef = jax.tree_util.tree_flatten_with_path(abstract)
+            leaves = []
+            for path_keys, leaf in flat:
+                node = migrated
+                for k in path_keys:
+                    name = getattr(
+                        k, "key", getattr(k, "name", getattr(k, "idx", None))
+                    )
+                    if isinstance(node, (list, tuple)):
+                        node = node[int(name)]
+                    elif name in node:
+                        node = node[name]
+                    else:
+                        node = node[str(name)]
+                arr = np.asarray(node)
+                if arr.shape != tuple(leaf.shape):
+                    raise ValueError(
+                        f"migrated leaf {'/'.join(map(str, path_keys))} has "
+                        f"shape {arr.shape}, expected {tuple(leaf.shape)}"
+                    )
+                leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+        except Exception as e:
+            raise ValueError(
+                f"Checkpoint at {path} predates the round-2 LinearAttention "
+                "rewrite (RMSNorm_0/Conv_0/mem_kv/Conv_1/RMSNorm_1 layout) "
+                "and automatic migration to the flat layout failed. Apply "
+                "models.modules.attention.migrate_pre_fused_linear_attention "
+                f"to the stored tree manually. Cause: {e}"
+            ) from err
 
     def has_checkpoint(self, which: str = "last") -> bool:
         return (self.directory / which).exists()

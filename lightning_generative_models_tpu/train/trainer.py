@@ -414,12 +414,14 @@ class Trainer:
             self._last_saved_step = self.global_step
         return state
 
-    def _validate(self, state: Any) -> Dict[str, float]:
+    def _eval_over(self, state: Any, batches: Iterator[Any]) -> Dict[str, float]:
+        """Mean per-batch eval metrics + §2.7 generative metrics over a
+        batch iterator (shared by validation and the test split)."""
         sums: Dict[str, float] = {}
         count = 0
         val_rng = jax.random.fold_in(self._run_rng, 0x57A7)
         gen_metrics = self._generative_metrics()
-        for batch in prefetch_to_device(self.datamodule.val_batches(), self.mesh):
+        for batch in prefetch_to_device(batches, self.mesh):
             # Distinct key per batch: without the fold_in every generated
             # "fake" batch is bit-identical and the FID/KID covariance is
             # computed over N copies of one batch (rank-deficient, wrong).
@@ -435,11 +437,47 @@ class Trainer:
         means = {k: v / count for k, v in sums.items()}
         if gen_metrics:
             means.update(self._compute_generative_metrics(gen_metrics))
+        return means
+
+    def _validate(self, state: Any) -> Dict[str, float]:
+        means = self._eval_over(state, self.datamodule.val_batches())
+        if not means:
+            return {}
         self.logger.log_metrics(means, self.global_step)
         self._log_samples(state)
         self._log_conditional_grids(state)
         self._log_tables(state)
         return means
+
+    def test(self, state: Any = None, which: str = "last") -> Dict[str, float]:
+        """Evaluate over the held-out test split (reference: the otherwise
+        unused ``test_dataloader``, /root/reference/data/datamodule.py:190-206
+        — this gives it a consumer). Restores a checkpoint when no live state
+        is passed; metric keys are ``test_``-prefixed."""
+        if not hasattr(self, "global_step"):
+            self.global_step = 0
+        if state is None:
+            rng = seed_everything(self.seed)
+            _, self._run_rng = jax.random.split(rng)
+            state = jax.jit(self.model.init_state)(jax.random.fold_in(rng, 0))
+            if self.ckpt.has_checkpoint(which):
+                state, self.global_step, _ = self.ckpt.restore(state, which)
+            else:
+                logger.warning(
+                    "No '%s' checkpoint under %s; testing freshly "
+                    "initialized weights.",
+                    which, self.ckpt.directory,
+                )
+            state = mesh_lib.replicate(state, self.mesh)
+        means = self._eval_over(state, self.datamodule.test_batches())
+        renamed = {
+            (k.replace("val_", "test_", 1) if k.startswith("val_")
+             else f"test_{k}"): v
+            for k, v in means.items()
+        }
+        if renamed:
+            self.logger.log_metrics(renamed, self.global_step)
+        return renamed
 
     def _log_conditional_grids(self, state: Any) -> None:
         """Structured grids for conditional models (reference cgan.py:331-357,

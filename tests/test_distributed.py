@@ -129,3 +129,64 @@ def test_process_local_slice_tiles_global_batch():
 
     with pytest.raises(ValueError, match="divisible"):
         process_local_slice(x, 0, process_index=0, process_count=5)
+
+
+def test_two_process_update_matches_single(tmp_path):
+    """REAL 2-process multi-host run (jax.distributed.initialize on CPU with
+    gloo collectives): coordinator handshake, per-process feeding through
+    process_local_slice + make_array_from_process_local_data, two jitted
+    train steps — the update must equal the single-process run. (Round-2
+    gap: multi-host correctness rested on a numpy tiling unit test and
+    initialize_distributed was dead in every test.)"""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"127.0.0.1:{port}"
+    out_json = tmp_path / "out.json"
+    worker = Path(__file__).parent / "_multihost_worker.py"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(Path(__file__).parent.parent)
+    # One CPU device per process (conftest's 8-device flag would leak in).
+    env["XLA_FLAGS"] = " ".join(
+        t for t in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in t
+    )
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, str(i), "2", str(out_json)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            logs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)[-4000:]
+    result = json.loads(out_json.read_text())
+
+    from _multihost_worker import train_two_steps
+
+    ref_loss, ref_sum = train_two_steps()  # this process: 8-device mesh
+    assert np.isclose(result["loss"], ref_loss, rtol=1e-5, atol=1e-6), (
+        result, ref_loss,
+    )
+    assert np.isclose(result["param_abs_sum"], ref_sum, rtol=1e-5), (
+        result, ref_sum,
+    )

@@ -240,6 +240,22 @@ def test_fused_linear_attention_matches_xla(rng, n, c, b):
                                atol=2e-4, rtol=2e-4)
 
 
+def test_fused_path_gate_covers_backward_working_set():
+    """The dispatch gate must bound the max of the fwd AND bwd per-step
+    working sets (regression: the fwd-only 48 MB gate let n=4096 shapes
+    pass, then Mosaic compile-failed at runtime with no fallback)."""
+    from lightning_generative_models_tpu.ops.linear_attention import (
+        _fused_path_fits,
+    )
+
+    # Flagship DDPM dim-64 32x32 stages must keep the fused path.
+    assert _fused_path_fits(128, 1024, 64, 128)
+    assert _fused_path_fits(128, 256, 128, 128)
+    assert _fused_path_fits(128, 64, 256, 128)
+    # n=4096 single-row: fwd ~15.7 MB (passes), bwd ~37 MB (must reject).
+    assert not _fused_path_fits(8, 4096, 64, 128)
+
+
 @pytest.mark.parametrize("n,b", [(32, 2), (512, 8)])
 def test_fused_linear_attention_grads_match_xla(rng, n, b):
     """custom_vjp backward == jax.grad of the composition. The b=8/n=512

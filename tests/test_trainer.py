@@ -146,6 +146,45 @@ def test_completed_run_resume_does_not_retrain(tmp_path):
     assert t2.global_step == steps_after_run  # no retraining
 
 
+def test_test_split_evaluation(tmp_path):
+    """trainer.test() evaluates the held-out test split from the saved
+    checkpoint (reference test_dataloader, data/datamodule.py:190-206, which
+    nothing consumed) and logs test_-prefixed metrics."""
+    dm = make_dm(16)
+    t1 = Trainer(
+        make_model(), dm, tmp_path, max_steps=3, log_every_n_steps=1,
+        sample_every_n_steps=0, check_val_every_n_epoch=99,
+    )
+    t1.fit()
+
+    t2 = Trainer(
+        make_model(), dm, tmp_path, sample_every_n_steps=0,
+        check_val_every_n_epoch=99,
+    )
+    metrics = t2.test()
+    assert "test_loss" in metrics and np.isfinite(metrics["test_loss"])
+    assert t2.global_step == 3  # restored from the checkpoint
+    records = [json.loads(line) for line in open(tmp_path / "metrics.jsonl")]
+    assert any("test_loss" in r for r in records)
+
+
+def test_eval_cli(tmp_path, monkeypatch):
+    """python train.py --eval test end-to-end."""
+    import train as train_cli
+
+    monkeypatch.setattr(
+        train_cli, "EXPERIMENT_DIR", str(tmp_path), raising=False
+    )
+    args = [
+        "--config_path", "configs/vae/vae.json", "--experiment_name", "e",
+        "--max_steps", "2", "--check_val_every_n_epoch", "99",
+        "--sample_every_n_steps", "0",
+    ]
+    train_cli.main(args)
+    metrics = train_cli.main(args + ["--eval", "test"])
+    assert "test_loss" in metrics and np.isfinite(metrics["test_loss"])
+
+
 def test_sigterm_saves_first_and_skips_validation(tmp_path):
     """Preemption path: on SIGTERM the trainer must checkpoint immediately
     and skip validation/sampling entirely (a DDPM validation can eat a

@@ -80,6 +80,16 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
         "fixed memory; auto picks by memory heuristic",
     )
 
+    parser.add_argument(
+        "--eval", type=str, default=None, choices=("test",), dest="eval_split",
+        help="evaluate the held-out test split from a checkpoint instead of "
+        "training (reference test_dataloader, data/datamodule.py:190-206)",
+    )
+    parser.add_argument(
+        "--eval_which", type=str, default="last", choices=("last", "best"),
+        help="which checkpoint --eval restores",
+    )
+
     # Logging configurations (reference train.py:44-66)
     parser.add_argument(
         "--project", type=str, default="Lightning generative models",
@@ -181,6 +191,11 @@ def main(argv=None):
         sample_every_n_steps=args.sample_every_n_steps,
         grad_accum_mode=args.grad_accum_mode,
     )
+    if args.eval_split == "test":
+        metrics = trainer.test(which=args.eval_which)
+        pprint(metrics)
+        exp_logger.finish()
+        return metrics
     state = trainer.fit(ckpt_path=args.ckpt_path, resume=args.resume)
     exp_logger.finish()
     return state
