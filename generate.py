@@ -54,7 +54,29 @@ def main(argv=None):
         "--interpolate_t", type=int, default=None,
         help="diffusion time for interpolation noising (default: T-1, full chain)",
     )
+    parser.add_argument(
+        "--fid", type=int, default=0, metavar="N",
+        help="compute FID@N: N generated samples vs the dataset train-split "
+        "statistics (BASELINE.md protocol: N=10000 or 50000); writes "
+        "fid_<N>_<which>_step<step>.json into the experiment dir",
+    )
+    parser.add_argument(
+        "--fid_batch", type=int, default=256,
+        help="sampling/feature batch size for --fid",
+    )
+    parser.add_argument(
+        "--fid_real", type=int, default=0,
+        help="cap on real images for --fid statistics (0 = full train split, "
+        "the standard protocol)",
+    )
     args = parser.parse_args(argv)
+
+    # Persistent compile cache (same as train.py): the DDIM sampler and the
+    # inception extractor take minutes to compile cold on tunneled backends.
+    cache_dir = os.path.join(EXPERIMENT_DIR, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     config = load_config(args.config_path)
     model = load_model(config["model"])
@@ -67,6 +89,8 @@ def main(argv=None):
     print(f"Restored {args.which} checkpoint at step {step} from {exp_dir}")
 
     sample_rng = jax.random.fold_in(rng, 1)
+    if args.fid:
+        return _compute_fid(model, state, config, args, step, exp_dir, sample_rng)
     if args.interpolate:
         if not hasattr(model, "interpolate"):
             raise SystemExit(f"{type(model).__name__} does not support interpolate")
@@ -109,6 +133,78 @@ def main(argv=None):
                        (np.clip(img, 0, 1) * 255).astype(np.uint8))
         print(f"Wrote {len(images)} individual samples to {out_dir}")
     return images
+
+
+def _compute_fid(model, state, config, args, step, exp_dir, rng):
+    """FID@N protocol (BASELINE.md: '10k/50k generated vs dataset
+    statistics, identical uint8 quantization as torchmetrics'; reference
+    mechanism gan.py:186-241). One command:
+
+        python generate.py --config_path <cfg> --experiment_name <run> \
+            --fid 10000 [--which best]
+
+    Real statistics come from the train split (full split by default); fakes
+    are sampled in fixed-size batches and quantized [0,1]->uint8 exactly as
+    the reference's add_(1).mul_(127.5).byte(). The result is written as a
+    JSON artifact so it can be read and reproduced (same seed => same value).
+    """
+    import json
+
+    from lightning_generative_models_tpu.data.datamodule import DataModule
+    from lightning_generative_models_tpu.metrics import FrechetInceptionDistance
+    from lightning_generative_models_tpu.metrics.inception import (
+        InceptionFeatureExtractor,
+    )
+
+    n, bs = args.fid, args.fid_batch
+    dm = DataModule(**config["dataset"])
+    dm.setup()
+    reals = dm.train_images
+    if args.fid_real:
+        reals = reals[: args.fid_real]
+
+    extractor = InceptionFeatureExtractor()
+    fid = FrechetInceptionDistance(extractor)
+    # Full batches only vary in the remainder => at most 2 XLA compilations.
+    for start in range(0, len(reals), bs):
+        fid.update(reals[start : start + bs], real=True)
+
+    sample = jax.jit(model.sample, static_argnums=2)
+    done, i = 0, 0
+    while done < n:
+        b = min(bs, n - done)
+        imgs = sample(state, jax.random.fold_in(rng, i), b)
+        fake_u8 = np.clip(
+            np.asarray(jax.device_get(imgs)) * 255.0, 0, 255
+        ).astype(np.uint8)
+        fid.update(fake_u8, real=False)
+        done += b
+        i += 1
+
+    value = float(fid.compute())
+    artifact = {
+        "fid": value,
+        "n_fake": n,
+        "n_real": int(len(reals)),
+        "pretrained_inception": bool(extractor.pretrained),
+        "comparable_to_published": bool(extractor.pretrained),
+        "checkpoint": args.which,
+        "step": int(step),
+        "dataset": config["dataset"]["name"],
+        "synthetic_data": bool(getattr(dm, "is_synthetic", False)),
+        "seed": args.seed,
+    }
+    out_path = exp_dir / f"fid_{n}_{args.which}_step{step}.json"
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=2)
+    kind = "pretrained" if extractor.pretrained else (
+        "He-scaled random-init (relative tracking only — drop "
+        "pt_inception-2015-12-05.pth for published-comparable numbers, "
+        "see docs/FID.md)"
+    )
+    print(f"FID@{n} = {value:.4f}  [{kind}]")
+    print(f"Wrote {out_path}")
+    return artifact
 
 
 if __name__ == "__main__":

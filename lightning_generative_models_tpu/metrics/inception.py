@@ -172,11 +172,53 @@ def weight_search_paths():
 
 
 def find_pretrained_weights():
-    """First existing weights file from :func:`weight_search_paths`, or None."""
+    """First existing weights file from :func:`weight_search_paths`, or None.
+
+    If ``LGM_TPU_INCEPTION_SHA256`` is set, the file's sha256 must match
+    (prefix match allowed, torch.hub style) — a corrupted or wrong download
+    would otherwise silently produce non-comparable FID numbers.
+    """
+    import hashlib
+    import os
+
+    expected = os.environ.get("LGM_TPU_INCEPTION_SHA256", "").lower()
     for p in weight_search_paths():
         if p.exists():
+            if expected:
+                digest = hashlib.sha256(p.read_bytes()).hexdigest()
+                if not digest.startswith(expected):
+                    raise ValueError(
+                        f"InceptionV3 weights at {p} have sha256 {digest}, "
+                        f"which does not match LGM_TPU_INCEPTION_SHA256="
+                        f"{expected}. Re-download the file (docs/FID.md)."
+                    )
             return p
     return None
+
+
+def he_scaled_random_params(seed: int = 0):
+    """Deterministic He-initialized random InceptionV3 variables.
+
+    Flax's default lecun_normal conv init halves the activation variance at
+    every ReLU layer; over this network's ~94 conv layers the features
+    collapse to a near-constant vector and every FID trivially approaches 0
+    (measured: 2e-4 on image sets whose real FID is ~374). Scaling each conv
+    kernel by sqrt(2) (He) keeps features input-dependent, which makes the
+    offline random-weights FID usable for *relative* tracking and gives the
+    golden regression test (tests/test_metrics.py) a far-from-zero anchor.
+    """
+    from jax.tree_util import tree_map_with_path
+
+    module = InceptionV3()
+    params = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 299, 299, 3)))
+
+    def he(path, leaf):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if keys[-1] == "kernel" and any("Conv_" in k for k in keys):
+            return leaf * np.sqrt(2.0).astype(leaf.dtype)
+        return leaf
+
+    return tree_map_with_path(he, params)
 
 
 class InceptionFeatureExtractor:
@@ -199,15 +241,13 @@ class InceptionFeatureExtractor:
         if params is None:
             logger.warning(
                 "InceptionV3 weights unavailable (offline environment): using "
-                "deterministic random init. FID/KID/IS values are "
+                "deterministic He-scaled random init. FID/KID/IS values are "
                 "self-consistent but NOT comparable to published numbers. "
                 "Drop pt_inception-2015-12-05.pth at one of %s or set "
-                "LGM_TPU_INCEPTION_WEIGHTS.",
+                "LGM_TPU_INCEPTION_WEIGHTS (see docs/FID.md).",
                 [str(p) for p in weight_search_paths()],
             )
-            params = self.module.init(
-                jax.random.PRNGKey(seed), jnp.zeros((1, 299, 299, 3))
-            )
+            params = he_scaled_random_params(seed)
         self.variables = params
         self._apply = jax.jit(self._forward)
 

