@@ -68,9 +68,7 @@ def _min_slope(run_chain, n1: int, n2: int, reps: int) -> float:
     return (min(seg2) - min(seg1)) / (n2 - n1)
 
 
-def bench_dcgan(steps: int, batch: int = 128):
-    """Slope-based steady-state timing: time(N2 steps) - time(N1 steps)
-    divided by (N2 - N1) cancels the fixed dispatch/readback latency."""
+def _make_dcgan_setup(batch: int):
     import jax
 
     from lightning_generative_models_tpu.registry import load_model
@@ -90,23 +88,79 @@ def bench_dcgan(steps: int, batch: int = 128):
         }
     )
     rng = jax.random.PRNGKey(0)
-    state = jax.jit(model.init_state)(rng)
     rs = np.random.RandomState(0)
     batch_np = {
         "image": rs.randint(0, 256, size=(batch, 32, 32, 3), dtype=np.uint8),
         "label": rs.randint(0, 10, size=batch).astype(np.int32),
     }
     batch_dev = jax.tree_util.tree_map(jax.device_put, batch_np)
+    return model, rng, batch_dev
 
+
+def bench_dcgan(steps: int, batch: int = 128, with_unroll: int = 0):
+    """Slope-based steady-state timing: time(N2 steps) - time(N1 steps)
+    divided by (N2 - N1) cancels the fixed dispatch/readback latency.
+
+    With ``with_unroll=k``, the k-step-fused program is measured too —
+    INTERLEAVED with the plain one in the same process. (The r1/r2 bench
+    ran unroll4 in a separate timeboxed subprocess minutes later; on the
+    shared chip that cross-process comparison is unreliable and twice
+    produced a contradictory 'unroll is 23% slower' artifact.)
+    """
+    import functools
+
+    import jax
+
+    model, rng, batch_dev = _make_dcgan_setup(batch)
     step_fn = jax.jit(model.train_step, donate_argnums=0)
+    state = jax.jit(model.init_state)(rng)
     holder = {"state": _run_chain(step_fn, state, batch_dev, rng, 3)}  # warmup
 
     def chain(n):
         holder["state"] = _run_chain(step_fn, holder["state"], batch_dev, rng, n)
 
+    chains = {"plain": chain}
+    if with_unroll > 1:
+        @functools.partial(jax.jit, donate_argnums=0)
+        def unroll_fn(state, b, r):
+            m = None
+            for _ in range(with_unroll):
+                state, m = model.train_step(state, b, r)
+            return state, m
+
+        ustate = jax.jit(model.init_state)(jax.random.fold_in(rng, 1))
+        uholder = {"state": _run_chain(unroll_fn, ustate, batch_dev, rng, 2)}
+
+        def uchain(n):
+            uholder["state"] = _run_chain(
+                unroll_fn, uholder["state"], batch_dev, rng, n
+            )
+
+        chains["unroll"] = uchain
+
     n1, n2 = max(steps // 5, 1), steps
-    per_step = max(_min_slope(chain, n1, n2, reps=3), 1e-9)
-    return batch / per_step, per_step
+    seg1 = {k: [] for k in chains}
+    seg2 = {k: [] for k in chains}
+    for _ in range(3):
+        for k, c in chains.items():  # interleaved within each rep
+            t0 = time.perf_counter()
+            c(n1)
+            t1 = time.perf_counter()
+            c(n2)
+            t2 = time.perf_counter()
+            seg1[k].append(t1 - t0)
+            seg2[k].append(t2 - t1)
+
+    def per_step(k, scale=1):
+        return max(
+            (min(seg2[k]) - min(seg1[k])) / ((n2 - n1) * scale), 1e-9
+        )
+
+    plain = per_step("plain")
+    unroll = (
+        batch / per_step("unroll", with_unroll) if with_unroll > 1 else None
+    )
+    return batch / plain, plain, unroll
 
 
 def bench_ddim50(batch: int = 64, dim: int = 64, img: int = 32):
@@ -147,50 +201,18 @@ def bench_ddim50(batch: int = 64, dim: int = 64, img: int = 32):
     return batch / per_batch
 
 
-def bench_dcgan_unrolled(steps: int = 12, batch: int = 128, unroll: int = 4):
-    """DCGAN throughput with the trainer's --unroll_steps 4 dispatch fusion."""
+def bench_ddpm_train(steps: int = 30, batch: int = 128, unroll: int = 1):
+    """DDPM CIFAR-10-shape training throughput (the FID-parity workload).
+
+    Uses the trainer's host-gated EMA cadence at steady state (post-warmup:
+    9 no-EMA steps + 1 EMA step per ema_update_every=10 cycle), exactly as
+    a real long training run executes. ``unroll`` measures the
+    --unroll_steps k path (k steps per dispatch, EMA mask per position).
+    """
     import functools
 
     import jax
-
-    from lightning_generative_models_tpu.registry import load_model
-
-    model = load_model(
-        {
-            "name": "DCGAN",
-            "args": {"img_channels": 3, "img_size": 32, "latent_dim": 100,
-                     "lr": 2e-4, "b1": 0.5, "b2": 0.999, "weight_decay": 1e-5},
-        }
-    )
-    rng = jax.random.PRNGKey(0)
-    state = jax.jit(model.init_state)(rng)
-    rs = np.random.RandomState(0)
-    batch_np = {
-        "image": rs.randint(0, 256, size=(batch, 32, 32, 3), dtype=np.uint8),
-        "label": rs.randint(0, 10, size=batch).astype(np.int32),
-    }
-    batch_dev = jax.tree_util.tree_map(jax.device_put, batch_np)
-
-    @functools.partial(jax.jit, donate_argnums=0)
-    def step_fn(state, b, r):
-        m = None
-        for _ in range(unroll):
-            state, m = model.train_step(state, b, r)
-        return state, m
-
-    holder = {"state": _run_chain(step_fn, state, batch_dev, rng, 3)}
-
-    def chain(n):
-        holder["state"] = _run_chain(step_fn, holder["state"], batch_dev, rng, n)
-
-    n1, n2 = max(steps // 5, 1), steps
-    per_step = max(_min_slope(chain, n1, n2, reps=2) / unroll, 1e-9)
-    return batch / per_step
-
-
-def bench_ddpm_train(steps: int = 30, batch: int = 128):
-    """DDPM CIFAR-10-shape training throughput (the FID-parity workload)."""
-    import jax
+    import jax.numpy as jnp
 
     from lightning_generative_models_tpu.models.diffusion.ddpm import DDPM
 
@@ -203,14 +225,43 @@ def bench_ddpm_train(steps: int = 30, batch: int = 128):
         "label": rs.randint(0, 10, size=batch).astype(np.int32),
     }
     batch_dev = jax.tree_util.tree_map(jax.device_put, batch_np)
-    step_fn = jax.jit(model.train_step, donate_argnums=0)
-    holder = {"state": _run_chain(step_fn, state, batch_dev, rng, 3)}
+    del functools  # flags are baked per-dispatch below instead
 
-    def chain(n):
-        holder["state"] = _run_chain(step_fn, holder["state"], batch_dev, rng, n)
+    def make_fn(flags):
+        def fn(state, b, r):
+            m = None
+            for f in flags:
+                state, m = model.train_step_gated(state, b, r, f)
+            return state, m
 
-    n1, n2 = max(steps // 5, 1), steps
-    per_step = max(_min_slope(chain, n1, n2, reps=2), 1e-9)
+        return jax.jit(fn, donate_argnums=0)
+
+    every = model.ema_update_every  # 10
+    assert every % unroll == 0
+    noema_fn = make_fn((False,) * unroll)
+    ema_fn = make_fn((False,) * (unroll - 1) + (True,))
+    dispatches_per_cycle = every // unroll
+    # Steady state = past EMA warmup (first ema_update_after_step=100 steps
+    # hard-copy every step; a real run spends ~all its time after that).
+    state = state.replace(step=jnp.asarray(1000, jnp.int32))
+    holder = {"state": state}
+
+    def chain(cycles):
+        metrics = None
+        for _ in range(cycles):
+            for _ in range(dispatches_per_cycle - 1):
+                holder["state"], metrics = noema_fn(
+                    holder["state"], batch_dev, rng
+                )
+            holder["state"], metrics = ema_fn(
+                holder["state"], batch_dev, rng
+            )
+        float(next(iter(metrics.values())))  # D2H readback barrier
+
+    chain(1)  # compile both variants + warmup
+    n1, n2 = 1, max(steps // every, 2)
+    per_cycle = max(_min_slope(chain, n1, n2, reps=2), 1e-9)
+    per_step = per_cycle / every
     return batch / per_step
 
 
@@ -235,15 +286,21 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
+    if args.only == "ddpm_train":
+        # Plain and unroll2 in the SAME process (a separate subprocess per
+        # mode is exactly the cross-process comparison that produced the
+        # contradictory r1/r2 unroll artifacts on this shared chip).
+        v1 = bench_ddpm_train()
+        v2 = bench_ddpm_train(unroll=2)
+        print(json.dumps({"value": v1, "unroll2": round(v2, 2)}))
+        return 0
     if args.only:
-        fn = {"ddim50": lambda: bench_ddim50(),
-              "ddpm_train": lambda: bench_ddpm_train(),
-              "dcgan_unroll4": lambda: bench_dcgan_unrolled()}[args.only]
+        fn = {"ddim50": lambda: bench_ddim50()}[args.only]
         print(json.dumps({"value": fn()}))
         return 0
 
     n_chips = jax.device_count()
-    img_per_sec, step_time = bench_dcgan(args.steps)
+    img_per_sec, step_time, unroll4 = bench_dcgan(args.steps, with_unroll=4)
     per_chip = img_per_sec / n_chips
 
     extras = {
@@ -251,29 +308,36 @@ def main():
         "n_chips": n_chips,
         "backend": jax.default_backend(),
     }
+    if unroll4 is not None:
+        extras["dcgan_unroll4_images_per_sec"] = round(unroll4 / n_chips, 1)
     if not args.quick:
         # Extras run in hard-timeboxed subprocesses: the headline metric must
         # land even if a diffusion compile stalls (remote-compile backends
         # block in C calls that in-process timeouts cannot interrupt).
         import subprocess
 
-        def timeboxed(label, mode, seconds=280):
+        def timeboxed(label, mode, seconds=280, extra_keys=()):
             try:
                 result = subprocess.run(
                     [sys.executable, __file__, "--only", mode],
                     capture_output=True, text=True, timeout=seconds,
                 )
                 line = result.stdout.strip().splitlines()[-1]
-                extras[label] = round(json.loads(line)["value"], 2)
+                payload = json.loads(line)
+                extras[label] = round(payload["value"], 2)
+                for key, out_label in extra_keys:
+                    if key in payload:
+                        extras[out_label] = round(payload[key], 2)
             except Exception as e:
                 extras[f"{label}_error"] = f"{type(e).__name__}: {e}"[:160]
 
         # Diffusion extras get a wider box: warm-cache runs still pay ~100s
         # TPU attach + program-cache load through the tunnel.
         timeboxed("ddim50_samples_per_sec", "ddim50", seconds=540)
-        timeboxed("ddpm_train_images_per_sec", "ddpm_train", seconds=540)
-        timeboxed("dcgan_unroll4_images_per_sec", "dcgan_unroll4",
-                  seconds=540)
+        timeboxed(
+            "ddpm_train_images_per_sec", "ddpm_train", seconds=540,
+            extra_keys=(("unroll2", "ddpm_train_unroll2_images_per_sec"),),
+        )
         if "ddim50_samples_per_sec" in extras:
             extras["vs_baseline_ddim50"] = round(
                 extras["ddim50_samples_per_sec"] / A100_DDIM50_SAMPLES_PER_SEC, 3

@@ -135,7 +135,8 @@ class DDPM(GenerativeModel):
         loss, grads = jax.value_and_grad(loss_fn)(state.params["model"])
         return grads, {"loss": loss}
 
-    def apply_grad_step(self, state: TrainState, grads, metrics):
+    def apply_grad_step(self, state: TrainState, grads, metrics,
+                        do_ema: bool = True):
         updates, new_opt = self.optimizer.update(
             grads, state.opt_state["model"], state.params["model"]
         )
@@ -145,16 +146,24 @@ class DDPM(GenerativeModel):
         # decay-EMA every `ema_update_every` steps after. Branch-free: a
         # per-step effective decay (0 = copy, 1 = keep, ema_decay = update)
         # through the same ema_update arithmetic produces bit-identical
-        # values, but unlike the previous nested lax.cond it fuses into the
-        # optimizer-update fusions — the cond materialized ~0.5 ms/step of
-        # whole-tree weight copies in the round-2 profile.
+        # values, and unlike a lax.cond it fuses into the optimizer-update
+        # fusions (the cond materialized ~0.5 ms/step of whole-tree copies
+        # in the round-2 profile). ``do_ema=False`` (static) drops the
+        # tree-map entirely — the trainer compiles both variants and skips
+        # the EMA's ~360 MB/step of HBM traffic on the 9-in-10 steps whose
+        # effective decay would be 1.0 (see train_step_gated).
         step = state.step + 1
-        decay_eff = jnp.where(
-            step <= self.ema_update_after_step,
-            0.0,
-            jnp.where(step % self.ema_update_every == 0, self.ema_decay, 1.0),
-        )
-        new_ema = ema_update(state.ema_params, new_params, decay_eff)
+        if do_ema:
+            decay_eff = jnp.where(
+                step <= self.ema_update_after_step,
+                0.0,
+                jnp.where(
+                    step % self.ema_update_every == 0, self.ema_decay, 1.0
+                ),
+            )
+            new_ema = ema_update(state.ema_params, new_params, decay_eff)
+        else:
+            new_ema = state.ema_params
 
         new_state = state.replace(
             step=step,
@@ -168,6 +177,24 @@ class DDPM(GenerativeModel):
         self, state: TrainState, batch: Batch, rng: jax.Array
     ) -> Tuple[TrainState, Metrics]:
         return self.apply_grad_step(state, *self.grad_step(state, batch, rng))
+
+    def ema_step_needed(self, next_step: int) -> bool:
+        """True when step ``next_step`` (1-based) changes the EMA tree."""
+        return (
+            next_step <= self.ema_update_after_step
+            or next_step % self.ema_update_every == 0
+        )
+
+    def train_step_gated(
+        self, state: TrainState, batch: Batch, rng: jax.Array, do_ema: bool
+    ) -> Tuple[TrainState, Metrics]:
+        """Host-gated EMA train step: jit once with ``do_ema=True`` and once
+        with ``False``; call the True variant only when
+        :meth:`ema_step_needed` says this step updates the EMA. Identical
+        math to :meth:`train_step` at every step."""
+        return self.apply_grad_step(
+            state, *self.grad_step(state, batch, rng), do_ema=do_ema
+        )
 
     def eval_step(self, state: TrainState, batch: Batch, rng: jax.Array) -> Metrics:
         x01 = prepare_batch(batch, train=False)["image"]

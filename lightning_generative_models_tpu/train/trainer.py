@@ -110,14 +110,52 @@ class Trainer:
             )
         elif self.unroll_steps > 1:
 
-            def _unrolled(state, stacked, rng):
+            def _unrolled(state, stacked, rng, ema_flags):
                 metrics = None
                 for i in range(self.unroll_steps):
                     batch_i = jax.tree_util.tree_map(lambda x: x[i], stacked)
-                    state, metrics = model.train_step(state, batch_i, rng)
+                    if ema_flags is None:
+                        state, metrics = model.train_step(state, batch_i, rng)
+                    else:
+                        state, metrics = model.train_step_gated(
+                            state, batch_i, rng, ema_flags[i]
+                        )
                 return state, metrics
 
-            self._train_step = jax.jit(_unrolled, donate_argnums=0)
+            self._unrolled_jit = jax.jit(
+                _unrolled, donate_argnums=0, static_argnums=3
+            )
+            if hasattr(model, "train_step_gated"):
+                # Compose unroll with host-gated EMA: each dispatch carries
+                # a static per-step EMA mask (at the defaults this compiles
+                # at most three programs: warmup, no-EMA, EMA-last).
+                def _unrolled_gated(state, stacked, rng):
+                    flags = tuple(
+                        model.ema_step_needed(self.global_step + 1 + i)
+                        for i in range(self.unroll_steps)
+                    )
+                    return self._unrolled_jit(state, stacked, rng, flags)
+
+                self._train_step = _unrolled_gated
+            else:
+                self._train_step = (
+                    lambda s, b, r: self._unrolled_jit(s, b, r, None)
+                )
+        elif hasattr(model, "train_step_gated"):
+            # Host-gated EMA (DDPM): two compiled variants; the False one
+            # skips the EMA tree-map's HBM traffic on the steps whose
+            # effective decay would be 1.0 (9 in 10 at the defaults).
+            import functools
+
+            self._train_step_ema = jax.jit(
+                functools.partial(model.train_step_gated, do_ema=True),
+                donate_argnums=0,
+            )
+            self._train_step_noema = jax.jit(
+                functools.partial(model.train_step_gated, do_ema=False),
+                donate_argnums=0,
+            )
+            self._train_step = self._gated_step
         else:
             self._train_step = jax.jit(model.train_step, donate_argnums=0)
         self._eval_step = jax.jit(model.eval_step)
@@ -172,6 +210,11 @@ class Trainer:
         return state
 
     # -- internals -----------------------------------------------------------
+    def _gated_step(self, state: Any, batch: Any, rng: Any):
+        if self.model.ema_step_needed(self.global_step + 1):
+            return self._train_step_ema(state, batch, rng)
+        return self._train_step_noema(state, batch, rng)
+
     def _resolve_accum_mode(self, mode: str) -> str:
         if mode not in ("auto", "concat", "scan"):
             raise ValueError(f"grad_accum_mode must be auto|concat|scan, got {mode}")

@@ -120,6 +120,123 @@ def _tiny_ddpm(sampling_timesteps=None):
     )
 
 
+def test_ddpm_gated_ema_matches_plain(rng):
+    """Host-gated EMA (two compiled variants, trainer picks per step) must
+    be bit-identical to the always-on train_step across warmup, update and
+    keep steps."""
+    import functools
+
+    model = _tiny_ddpm()
+    from lightning_generative_models_tpu.data.datasets import synthetic_dataset
+
+    images, labels = synthetic_dataset("MNIST", True, num_samples=8)
+    batch = {"image": images[:, :16, :16, :], "label": labels}
+
+    plain = jax.jit(model.train_step)
+    gated_ema = jax.jit(functools.partial(model.train_step_gated, do_ema=True))
+    gated_noema = jax.jit(
+        functools.partial(model.train_step_gated, do_ema=False)
+    )
+
+    s1 = model.init_state(rng)
+    s2 = model.init_state(rng)
+    for i in range(8):  # crosses warmup (<=3), update (%2) and keep steps
+        s1, _ = plain(s1, batch, rng)
+        fn = gated_ema if model.ema_step_needed(i + 1) else gated_noema
+        s2, _ = fn(s2, batch, rng)
+    for a, b in zip(
+        jax.tree_util.tree_leaves((s1.params, s1.ema_params)),
+        jax.tree_util.tree_leaves((s2.params, s2.ema_params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ddpm_trainer_unroll_gated_matches_plain(tmp_path):
+    """Trainer unroll_steps=2 on DDPM (unroll composed with host-gated EMA
+    masks) must produce the plain trainer's params AND ema_params.
+
+    Tolerance design (measured): Adam's m/sqrt(v) divides by near-zero v
+    early in training, amplifying the benign ~1-ulp cross-step-fusion
+    rounding into O(update)-scale param differences within ONE 2-step
+    dispatch (3e-4 at step 4, while opt_state m/v — LINEAR accumulations
+    of the gradients — still agree to 3e-8). So params are compared
+    tightly only where chaos-free (from init), and later dispatches are
+    checked on the chaos-free invariants that still catch real wiring
+    bugs: opt_state (wrong batch/rng => m differs by O(0.1*grad) ~ 1e-3,
+    4+ orders above the 3e-8 fusion-noise floor) and the exact EMA-mask
+    flags the trainer passes per dispatch.
+    """
+    from lightning_generative_models_tpu.data.datamodule import DataModule
+    from lightning_generative_models_tpu.train.trainer import Trainer
+
+    def dm():
+        return DataModule(name="MNIST", img_size=16, img_channels=1,
+                          batch_size=8, synthetic_size=64)
+
+    def fit(subdir, **kw):
+        t = Trainer(
+            _tiny_ddpm(), dm(), tmp_path / subdir, max_steps=2,
+            log_every_n_steps=1, sample_every_n_steps=0,
+            check_val_every_n_epoch=99, **kw,
+        )
+        return t.fit()
+
+    def assert_close(s1, s2, tol):
+        for a, b in zip(
+            jax.tree_util.tree_leaves((s1.params, s1.ema_params)),
+            jax.tree_util.tree_leaves((s2.params, s2.ema_params)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=tol
+            )
+
+    assert_close(fit("plain"), fit("unroll", unroll_steps=2), 1e-6)
+
+    # -- dispatch-level resync across all EMA-mask variants ----------------
+    model = _tiny_ddpm()
+    t = Trainer(
+        model, dm(), tmp_path / "resync", max_steps=6,
+        log_every_n_steps=1, sample_every_n_steps=0,
+        check_val_every_n_epoch=99, unroll_steps=2,
+    )
+    seen_flags = []
+    orig_jit = t._unrolled_jit
+
+    def recording_jit(state, stacked, rng, flags):
+        seen_flags.append(flags)
+        return orig_jit(state, stacked, rng, flags)
+
+    t._unrolled_jit = recording_jit
+    plain_step = jax.jit(model.train_step)
+    rng = jax.random.PRNGKey(0)
+    state = jax.jit(model.init_state)(rng)
+    t.datamodule.setup()
+    batches = [b for _, b in zip(range(6), t.datamodule.train_batches(0))]
+    for d in range(3):  # dispatches at global_step 0/2/4: masks TT, TT, FT
+        ref = state
+        for i in range(2):
+            ref, _ = plain_step(ref, batches[2 * d + i], rng)
+        stacked = {
+            k: np.stack([batches[2 * d + i][k] for i in range(2)])
+            for k in batches[0]
+        }
+        t.global_step = 2 * d
+        got, _ = t._train_step(state, stacked, rng)
+        if d == 0:  # from init: chaos-free, measured 2e-7
+            assert_close(ref, got, 1e-5)
+        for a, b in zip(  # linear in grads: catches wrong batch/rng/order
+            jax.tree_util.tree_leaves(ref.opt_state),
+            jax.tree_util.tree_leaves(got.opt_state),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1e-5
+            )
+        assert int(np.asarray(got.step)) == 2 * d + 2
+        state = ref  # resync: no cross-dispatch amplification
+    # tiny model: after=3, every=2 => steps 1..6 need EMA at 1,2,3,4,6
+    assert seen_flags == [(True, True), (True, True), (False, True)]
+
+
 def test_ddpm_train_decreases_and_ema_gates(rng):
     model = _tiny_ddpm()
     state = model.init_state(rng)

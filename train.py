@@ -63,8 +63,11 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
     )
     parser.add_argument(
         "--unroll_steps", type=int, default=1,
-        help="fuse k optimization steps per dispatch (~20%% faster for "
-        "small dispatch-bound models; coarser logging cadence)",
+        help="fuse k optimization steps per dispatch; identical math, "
+        "coarser logging cadence. Helps when per-dispatch overhead is "
+        "comparable to the step (measured on v5e: DDPM-bs128 +4%% with "
+        "k=2); measure with bench.py (it reports plain vs unroll4 "
+        "interleaved) before enabling",
     )
     parser.add_argument(
         "--profile_steps",
