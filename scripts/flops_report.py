@@ -52,6 +52,16 @@ def main():
     ct = jax.jit(ddpm.train_step).lower(ds, batch, rng).compile().cost_analysis()
     print(f"DDPM train step bs128: {ct['flops']/128/1e9:.3f} GFLOP/img")
 
+    import functools
+
+    cg = (
+        jax.jit(functools.partial(ddpm.train_step_gated, do_ema=False))
+        .lower(ds, batch, rng).compile().cost_analysis()
+    )
+    print(f"DDPM gated (no-EMA) step bs128: {cg['flops']/1e12:.4f} TFLOP "
+          f"({cg['flops']/128/1e9:.3f} GFLOP/img) — the steady-state "
+          f"majority step; MFU = this / step_time / 197e12 on v5e")
+
 
 if __name__ == "__main__":
     main()
