@@ -1,0 +1,77 @@
+"""Unit tests for bench.py's measurement helpers.
+
+The bench protocol itself has produced two rounds of misleading artifacts
+(cross-process unroll comparisons, min-of-slopes bias, dispatch-latency
+contamination — see docs/PERFORMANCE.md), so its arithmetic is pinned here.
+"""
+
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench
+
+pytestmark = pytest.mark.quick
+
+
+def test_min_slope_cancels_fixed_overhead_and_additive_contention(monkeypatch):
+    """slope = (min(seg2) - min(seg1)) / (n2 - n1) must recover the true
+    per-unit time when every chain pays a fixed overhead, and must NOT be
+    deflated by a contention spike landing in the subtracted segment
+    (the round-2 advisor finding against min-of-slope-estimates)."""
+    clock = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: clock["t"])
+
+    per_unit, fixed = 5.0, 7.0
+    # Contention spikes (additive): rep 0 hits the n1 segment, rep 2 the n2
+    # segment; rep 1 is clean.
+    spikes = iter([3.0, 0.0, 0.0, 0.0, 0.0, 11.0])
+
+    def run_chain(n):
+        clock["t"] += fixed + per_unit * n + next(spikes)
+
+    slope = bench._min_slope(run_chain, n1=2, n2=10, reps=3)
+    assert slope == pytest.approx(per_unit)
+
+
+def test_min_slope_not_biased_by_seg1_spike(monkeypatch):
+    """With min-of-slopes, a spike in seg1 of one rep would make that rep's
+    slope the smallest and win the min; per-segment minima must ignore it."""
+    clock = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: clock["t"])
+    spikes = iter([100.0, 0.0, 0.0, 0.0])  # huge spike in rep 0's seg1
+
+    def run_chain(n):
+        clock["t"] += 1.0 * n + next(spikes)
+
+    slope = bench._min_slope(run_chain, n1=1, n2=5, reps=2)
+    assert slope == pytest.approx(1.0)
+
+
+def test_fori_chain_runs_n_steps_in_one_dispatch():
+    calls = {"traces": 0}
+
+    def step(s):
+        calls["traces"] += 1  # traced once, regardless of n
+        return s + 1
+
+    chain = bench._fori_chain(step)
+    out = chain(jnp.asarray(0, jnp.int32), 7)
+    assert int(out) == 7
+    out = chain(out, 5)  # same compiled program, dynamic n
+    assert int(out) == 12
+    assert calls["traces"] == 1
+
+
+def test_fori_chain_threads_pytree_state():
+    def step(s):
+        return {"a": s["a"] + 1, "b": s["b"] * 2.0}
+
+    chain = bench._fori_chain(step)
+    out = chain({"a": jnp.asarray(0), "b": jnp.asarray(1.0)}, 3)
+    assert int(out["a"]) == 3
+    assert float(out["b"]) == 8.0
