@@ -95,6 +95,29 @@ def _min_slope(run_chain, n1: int, n2: int, reps: int) -> float:
     return (min(seg2) - min(seg1)) / (n2 - n1)
 
 
+def _min_slope_interleaved(run_chains, n1: int, n2: int, reps: int):
+    """`_min_slope` for several chains measured INTERLEAVED.
+
+    Each repetition times every chain's n1 and n2 segments back-to-back
+    before the next repetition, so a contention-level shift on the shared
+    chip lands on all chains roughly equally. Comparing two chains from
+    separate, sequential measurement windows violates the interleaving rule
+    this file's protocol is built on (the drift would be misattributed to
+    the A/B difference). Returns one slope per chain, in order.
+    """
+    segs = [([], []) for _ in run_chains]
+    for _ in range(reps):
+        for (seg1, seg2), run_chain in zip(segs, run_chains):
+            t0 = time.perf_counter()
+            run_chain(n1)
+            t1 = time.perf_counter()
+            run_chain(n2)
+            t2 = time.perf_counter()
+            seg1.append(t1 - t0)
+            seg2.append(t2 - t1)
+    return [(min(s2) - min(s1)) / (n2 - n1) for s1, s2 in segs]
+
+
 def _make_dcgan_setup(batch: int):
     import jax
 
@@ -148,8 +171,6 @@ def bench_dcgan(steps: int, batch: int = 128):
         int(holder["state"].step)  # D2H readback = real barrier
 
     chain(3)  # compile + warmup
-    n1, n2 = max(steps // 5, 1), steps
-    per_step = max(_min_slope(chain, n1, n2, reps=3), 1e-9)
 
     # Dispatch-inclusive comparison point: per-step jit dispatches.
     step_fn = jax.jit(model.train_step, donate_argnums=0)
@@ -161,8 +182,13 @@ def bench_dcgan(steps: int, batch: int = 128):
         dholder["state"] = _run_chain(
             step_fn, dholder["state"], batch_dev, rng, n)
 
-    disp_per_step = max(_min_slope(dchain, n1, n2, reps=2), 1e-9)
-    return batch / per_step, per_step, max(disp_per_step - per_step, 0.0)
+    n1, n2 = max(steps // 5, 1), steps
+    # Interleaved so a contention shift cannot masquerade as dispatch
+    # overhead. The difference is reported raw (a small negative value is
+    # visible noise, not clamped away).
+    slope, disp_slope = _min_slope_interleaved([chain, dchain], n1, n2, reps=3)
+    per_step = max(slope, 1e-9)
+    return batch / per_step, per_step, disp_slope - per_step
 
 
 def bench_ddim50(batch: int = 64, dim: int = 64, img: int = 32):
@@ -171,8 +197,9 @@ def bench_ddim50(batch: int = 64, dim: int = 64, img: int = 32):
     Uses the shipped single-program ``lax.scan`` sampler — ONE dispatch per
     batch, so the tunnel's per-dispatch latency jitter (which made a
     50-dispatch step loop swing +/-30%% across runs) cannot contaminate the
-    measurement. Slope timing (t(1+k reps) - t(1 rep)) / k cancels the fixed
-    dispatch/readback cost; median of 3 slope estimates.
+    measurement. Two-segment timing with per-segment minima across 3 reps,
+    then one differenced slope (``_min_slope``) cancels the fixed
+    dispatch/readback cost.
     """
     import jax
 
@@ -214,8 +241,6 @@ def bench_ddpm_train(steps: int = 30, batch: int = 128, unroll: int = 1):
     per-dispatch path instead (dispatch-inclusive, for the trainer-flag
     docs).
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
 
@@ -230,7 +255,6 @@ def bench_ddpm_train(steps: int = 30, batch: int = 128, unroll: int = 1):
         "label": rs.randint(0, 10, size=batch).astype(np.int32),
     }
     batch_dev = jax.tree_util.tree_map(jax.device_put, batch_np)
-    del functools  # flags are baked per-dispatch below instead
 
     def make_fn(flags):
         def fn(state, b, r):
@@ -338,7 +362,9 @@ def main():
         "dcgan_step_time_ms": round(step_time * 1e3, 3),
         # Tunnel round-trip paid per dispatch by the per-step jit path on
         # THIS session (varies 0.5-2.3 ms between sessions; a locally
-        # attached production host pays ~0.05 ms, pipelined).
+        # attached production host pays ~0.05 ms, pipelined). Measured
+        # interleaved with the fori chain; a small negative value is
+        # measurement noise, reported raw rather than clamped.
         "dispatch_overhead_ms": round(dispatch_overhead * 1e3, 3),
         "n_chips": n_chips,
         "backend": jax.default_backend(),

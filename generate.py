@@ -159,7 +159,10 @@ def _compute_fid(model, state, config, args, step, exp_dir, rng):
     n, bs = args.fid, args.fid_batch
     dm = DataModule(**config["dataset"])
     dm.setup()
-    reals = dm.train_images
+    # Full train split (the standard published protocol): the DataModule's
+    # seeded train/val split partitions the train pool, so their union
+    # restores it exactly. FID statistics are order-invariant.
+    reals = np.concatenate([dm.train_images, dm.val_images])
     if args.fid_real:
         reals = reals[: args.fid_real]
 

@@ -122,11 +122,10 @@ def _folder_labels(root: Path, files: list[Path]) -> Optional[np.ndarray]:
         for line in Path(labels_txt).read_text().splitlines():
             parts = line.split()
             if len(parts) >= 2 and parts[-1].lstrip("-").isdigit():
-                table[parts[0]] = int(parts[-1])
+                # Key by basename so path-prefixed entries still match.
+                table[Path(parts[0]).name] = int(parts[-1])
         if table:
-            return np.asarray(
-                [table.get(p.name, 0) for p in files], dtype=np.int32
-            )
+            return _lookup_labels(table, files, labels_txt)
 
     mat_path = _find(root, ["imagelabels.mat"])
     if mat_path is not None:
@@ -135,11 +134,20 @@ def _folder_labels(root: Path, files: list[Path]) -> Optional[np.ndarray]:
 
             flat = np.asarray(loadmat(str(mat_path))["labels"]).ravel()
             out = np.zeros(len(files), dtype=np.int32)
+            missing = 0
             for i, p in enumerate(files):
                 stem = p.stem  # image_00001 -> index 0
                 num = stem.rsplit("_", 1)[-1]
                 if num.isdigit() and 1 <= int(num) <= len(flat):
                     out[i] = int(flat[int(num) - 1]) - 1  # 1-indexed -> 0
+                else:
+                    missing += 1
+            if missing:
+                logger.warning(
+                    "%s: %d/%d filenames do not look like image_NNNNN within "
+                    "the label vector's range; those files defaulted to "
+                    "class 0.", mat_path, missing, len(files),
+                )
             return out
         except Exception as e:
             logger.warning("failed to parse %s: %s", mat_path, e)
@@ -154,14 +162,30 @@ def _folder_labels(root: Path, files: list[Path]) -> Optional[np.ndarray]:
             for line in lines[2:]:
                 parts = line.split()
                 if len(parts) == len(attr_names) + 1:
-                    table[parts[0]] = 1 if int(parts[1 + col]) > 0 else 0
-            return np.asarray(
-                [table.get(p.name, 0) for p in files], dtype=np.int32
-            )
+                    table[Path(parts[0]).name] = 1 if int(parts[1 + col]) > 0 else 0
+            return _lookup_labels(table, files, attr_path)
         except Exception as e:
             logger.warning("failed to parse %s: %s", attr_path, e)
 
     return None
+
+
+def _lookup_labels(table: dict, files: list[Path], source: Path) -> np.ndarray:
+    """Map ``files`` through a filename->label table, warning loudly when the
+    table only partially covers the folder. Unmatched files fall back to
+    class 0 — without the warning that silent default recreates exactly the
+    degenerate-label failure the label sources exist to prevent (the
+    trainer's all-zero guard never fires on partially-wrong labels)."""
+    missing = sum(1 for p in files if p.name not in table)
+    if missing:
+        logger.warning(
+            "%s covers only %d/%d images in the folder (%d unmatched files "
+            "defaulted to class 0). Conditional training on these labels is "
+            "unreliable — check that the label file keys match the image "
+            "filenames.",
+            source, len(files) - missing, len(files), missing,
+        )
+    return np.asarray([table.get(p.name, 0) for p in files], dtype=np.int32)
 
 
 def _load_image_folder(

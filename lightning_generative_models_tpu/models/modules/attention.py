@@ -52,6 +52,8 @@ _FLAT_KEYS = frozenset(
 
 def has_pre_fused_linear_attention(tree) -> bool:
     """True if any subtree uses the round-1 LinearAttention layout."""
+    if isinstance(tree, (list, tuple)):
+        return any(has_pre_fused_linear_attention(v) for v in tree)
     if not isinstance(tree, dict):
         return False
     if set(tree) == _PRE_FUSED_KEYS:
@@ -65,6 +67,10 @@ def migrate_pre_fused_linear_attention(tree):
     layout. A pure reshape — the 1x1 conv kernels drop their spatial dims —
     so restored weights are numerically identical; the q/k softmaxes,
     memory-KV concat and scaling are unchanged between the layouts."""
+    if isinstance(tree, (list, tuple)):
+        # Optimizer states may restore as list/tuple nodes (optax chains);
+        # pre-fused mu/nu subtrees can live below them.
+        return type(tree)(migrate_pre_fused_linear_attention(v) for v in tree)
     if not isinstance(tree, dict):
         return tree
     if set(tree) == _PRE_FUSED_KEYS and isinstance(tree.get("Conv_0"), dict):

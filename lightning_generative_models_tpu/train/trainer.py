@@ -499,6 +499,10 @@ class Trainer:
         is passed; metric keys are ``test_``-prefixed."""
         if not hasattr(self, "global_step"):
             self.global_step = 0
+        if not hasattr(self, "_run_rng"):
+            # test(state=...) on a trainer that never ran fit(): _eval_over
+            # needs the run RNG regardless of where the state came from.
+            _, self._run_rng = jax.random.split(seed_everything(self.seed))
         if state is None:
             rng = seed_everything(self.seed)
             _, self._run_rng = jax.random.split(rng)

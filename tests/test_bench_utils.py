@@ -52,6 +52,36 @@ def test_min_slope_not_biased_by_seg1_spike(monkeypatch):
     assert slope == pytest.approx(1.0)
 
 
+def test_min_slope_interleaved_sees_drift_equally(monkeypatch):
+    """A contention-level shift midway through the reps must not be
+    misattributed to the A/B difference: both chains are measured in every
+    repetition, so each chain's per-segment min comes from the quiet reps."""
+    clock = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: clock["t"])
+
+    rep = {"i": 0}  # reps 0-1 quiet, rep 2 contended (+50 per segment)
+
+    def make_chain(per_unit, fixed):
+        def run(n):
+            contention = 50.0 if rep["i"] >= 2 else 0.0
+            clock["t"] += fixed + per_unit * n + contention
+        return run
+
+    chain_a = make_chain(2.0, 1.0)
+    chain_b_inner = make_chain(3.0, 9.0)
+
+    def chain_b(n):  # last chain of the rep advances the rep counter
+        chain_b_inner(n)
+        if n == 8:
+            rep["i"] += 1
+
+    slopes = bench._min_slope_interleaved([chain_a, chain_b], 2, 8, reps=3)
+    assert slopes[0] == pytest.approx(2.0)
+    assert slopes[1] == pytest.approx(3.0)
+    # The A/B difference is clean despite the drifted final rep.
+    assert slopes[1] - slopes[0] == pytest.approx(1.0)
+
+
 def test_fori_chain_runs_n_steps_in_one_dispatch():
     calls = {"traces": 0}
 

@@ -91,6 +91,28 @@ def test_migration_is_semantics_preserving(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_migration_recurses_into_list_and_tuple_nodes(rng):
+    """Raw orbax trees may hold optax chain states as list/tuple nodes;
+    pre-fused subtrees below them must still be detected and migrated
+    (regression: non-dict nodes were returned unchanged)."""
+    mod = LinearAttention(dim=64)
+    x = jax.random.normal(rng, (1, 4, 4, 64))
+    new_params = mod.init(jax.random.fold_in(rng, 1), x)["params"]
+    old_params = _inverse_migrate(new_params)
+
+    wrapped = {"opt_state": [{"mu": old_params}, ({"nu": old_params},)]}
+    assert has_pre_fused_linear_attention(wrapped)
+    migrated = migrate_pre_fused_linear_attention(wrapped)
+    assert not has_pre_fused_linear_attention(migrated)
+    assert isinstance(migrated["opt_state"], list)
+    assert isinstance(migrated["opt_state"][1], tuple)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(migrated["opt_state"][0]["mu"]),
+        jax.tree_util.tree_leaves(new_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_restore_migrates_pre_fused_checkpoint(tmp_path, rng):
     """CheckpointManager.restore auto-migrates a checkpoint saved with the
     round-1 LinearAttention layout (regression: restore raised an opaque

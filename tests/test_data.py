@@ -226,6 +226,28 @@ def test_image_folder_labels_txt(tmp_path):
     np.testing.assert_array_equal(val_labels, [9 % 4])
 
 
+def test_image_folder_labels_txt_partial_coverage_warns(tmp_path, caplog):
+    """Path-prefixed keys must still match by basename, and a label table
+    that only partially covers the folder must warn loudly (regression:
+    unmatched files silently defaulted to class 0, which the trainer's
+    all-zero guard cannot catch)."""
+    import logging
+
+    pytest.importorskip("PIL")
+    from lightning_generative_models_tpu.data.datasets import _load_image_folder
+
+    names = [f"{i:03d}.png" for i in range(10)]
+    root = _make_folder(tmp_path, names)
+    (root / "labels.txt").write_text(
+        "\n".join(f"imgs/{n} {i % 4}" for i, n in enumerate(names[:6]))
+    )
+    with caplog.at_level(logging.WARNING):
+        _, train_labels = _load_image_folder(root, train=True, size=(16, 16, 3))
+    assert any("covers only 6/" in r.getMessage() for r in caplog.records)
+    np.testing.assert_array_equal(train_labels[:6], [i % 4 for i in range(6)])
+    np.testing.assert_array_equal(train_labels[6:], 0)
+
+
 def test_image_folder_flowers102_mat(tmp_path):
     """Flowers102 imagelabels.mat: 1-indexed labels keyed by the number in
     image_NNNNN.jpg; loaded 0-indexed."""

@@ -168,6 +168,24 @@ def test_test_split_evaluation(tmp_path):
     assert any("test_loss" in r for r in records)
 
 
+def test_test_with_live_state_without_fit(tmp_path):
+    """test(state=...) on a trainer that never ran fit() must work
+    (regression: _eval_over dereferenced self._run_rng, which only the
+    state-is-None restore branch initialized)."""
+    import jax
+
+    from lightning_generative_models_tpu.parallel import mesh as mesh_lib
+
+    t = Trainer(
+        make_model(), make_dm(16), tmp_path, sample_every_n_steps=0,
+        check_val_every_n_epoch=99,
+    )
+    state = jax.jit(t.model.init_state)(jax.random.PRNGKey(0))
+    state = mesh_lib.replicate(state, t.mesh)
+    metrics = t.test(state=state)
+    assert "test_loss" in metrics and np.isfinite(metrics["test_loss"])
+
+
 def test_eval_cli(tmp_path, monkeypatch):
     """python train.py --eval test end-to-end."""
     import train as train_cli

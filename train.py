@@ -66,8 +66,9 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
         help="fuse k optimization steps per dispatch; identical math, "
         "coarser logging cadence. Helps when per-dispatch overhead is "
         "comparable to the step (measured on v5e: DDPM-bs128 +4%% with "
-        "k=2); measure with bench.py (it reports plain vs unroll4 "
-        "interleaved) before enabling",
+        "k=2, deeper unroll regresses); measure with bench.py (its "
+        "ddpm_train extras report plain vs unroll2 interleaved) before "
+        "enabling",
     )
     parser.add_argument(
         "--profile_steps",
