@@ -262,6 +262,19 @@ def main():
                 add(Variant("rowmajor128", 128))
             finally:
                 nn.Conv.__call__ = orig_call
+        elif name == "mubf16":
+            # Adam first moment in bf16 (optax mu_dtype): the optimizer's
+            # ~2.15 ms/step is bandwidth-bound over 4 weight-shaped trees
+            # (params, grads, mu, nu); halving mu's footprint cuts ~1/8 of
+            # that traffic. Changes numerics (not bit-identical) — would
+            # ship as an opt-in flag only on a measured win.
+            import optax
+
+            model = make_model()
+            model.optimizer = optax.adam(
+                2e-5, b1=0.9, b2=0.99, mu_dtype=jnp.bfloat16
+            )
+            add(Variant("mubf16", 128, model=model))
         elif name.startswith("vmem"):
             kib = int(name[4:]) * 1024
             add(
