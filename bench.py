@@ -118,6 +118,37 @@ def _min_slope_interleaved(run_chains, n1: int, n2: int, reps: int):
     return [(min(s2) - min(s1)) / (n2 - n1) for s1, s2 in segs]
 
 
+def _attach_guard(timeout_s: float = 900.0, retries: int = 1, _argv=None):
+    """Bounded accelerator-attach probe; returns None if healthy, else a
+    diagnostic string.
+
+    The tunneled TPU backend attaches inside a blocking C call at first
+    device use — during a backend outage (observed 2026-08-18: attach hangs
+    7-25+ min, then ``UNAVAILABLE: TPU backend setup/compile error``) an
+    in-process attach hangs the whole bench and no artifact lands at all.
+    Probing ``jax.device_count()`` in a subprocess with a hard timeout keeps
+    the "exactly one JSON line" contract even when the backend is down.
+    Cost in the healthy case: one extra attach (~100 s through the tunnel).
+    """
+    import subprocess
+
+    argv = _argv or [sys.executable, "-c", "import jax; jax.device_count()"]
+    last = ""
+    for attempt in range(retries + 1):
+        try:
+            result = subprocess.run(
+                argv, capture_output=True, text=True, timeout=timeout_s
+            )
+            if result.returncode == 0:
+                return None
+            last = (result.stderr or result.stdout).strip()[-300:]
+        except subprocess.TimeoutExpired:
+            last = f"attach probe timed out after {timeout_s:.0f}s"
+        if attempt < retries:
+            time.sleep(120)
+    return last
+
+
 def _make_dcgan_setup(batch: int):
     import jax
 
@@ -324,6 +355,25 @@ def main():
     args = parser.parse_args()
 
     import os
+
+    if args.only is None and os.environ.get("LGM_TPU_SKIP_ATTACH_GUARD") != "1":
+        err = _attach_guard()
+        if err is not None:
+            # Emit a diagnosable artifact instead of hanging forever on a
+            # dead backend; value 0 + error marks "backend down, re-run",
+            # not a measurement.
+            print(
+                json.dumps(
+                    {
+                        "metric": "DCGAN CIFAR-10 train images/sec/chip",
+                        "value": 0.0,
+                        "unit": "images/sec/chip",
+                        "vs_baseline": 0.0,
+                        "error": f"accelerator attach failed: {err}",
+                    }
+                )
+            )
+            return 0
 
     import jax
 

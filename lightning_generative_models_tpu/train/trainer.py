@@ -448,7 +448,11 @@ class Trainer:
             self.ckpt.save_last(state, self.global_step, self.epoch)
             self._last_saved_step = self.global_step
             return state
-        self._validate(state)
+        val_metrics = self._validate(state)
+        # A --max_steps run usually stops mid-epoch, skipping the
+        # epoch-boundary maybe_save_best above — without this call such a
+        # run never writes a 'best' checkpoint despite validating.
+        self.ckpt.maybe_save_best(state, self.global_step, self.epoch, val_metrics)
         if not self._should_stop:
             # Normal completion: record the NEXT epoch even when the val
             # cadence skipped the last boundary save, so resume never

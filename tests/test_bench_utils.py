@@ -97,6 +97,67 @@ def test_fori_chain_runs_n_steps_in_one_dispatch():
     assert calls["traces"] == 1
 
 
+def test_attach_guard_healthy_returns_none():
+    assert bench._attach_guard(_argv=[sys.executable, "-c", "pass"]) is None
+
+
+def test_attach_guard_reports_subprocess_stderr():
+    err = bench._attach_guard(
+        retries=0,
+        _argv=[
+            sys.executable,
+            "-c",
+            "import sys; sys.stderr.write('UNAVAILABLE: backend down'); sys.exit(1)",
+        ],
+    )
+    assert err is not None and "UNAVAILABLE: backend down" in err
+
+
+def test_attach_guard_times_out_hung_attach():
+    err = bench._attach_guard(
+        timeout_s=0.5,
+        retries=0,
+        _argv=[sys.executable, "-c", "import time; time.sleep(30)"],
+    )
+    assert err is not None and "timed out" in err
+
+
+def test_main_emits_error_json_when_attach_guard_fails(monkeypatch, capsys):
+    """During a backend outage main() must still print exactly one JSON
+    line (value 0 + error) instead of hanging in the in-process attach."""
+    import json
+
+    monkeypatch.setattr(bench, "_attach_guard", lambda: "attach probe timed out")
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--quick"])
+    monkeypatch.delenv("LGM_TPU_SKIP_ATTACH_GUARD", raising=False)
+    assert bench.main() == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 1
+    payload = json.loads(lines[0])
+    assert payload["value"] == 0.0
+    assert "attach probe timed out" in payload["error"]
+
+
+def test_main_healthy_guard_proceeds_to_measurement(monkeypatch, capsys):
+    import json
+
+    monkeypatch.setattr(bench, "_attach_guard", lambda: None)
+    monkeypatch.setattr(bench, "bench_dcgan", lambda steps: (20_000.0, 0.0064, 0.001))
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--quick", "--steps", "3"])
+    monkeypatch.delenv("LGM_TPU_SKIP_ATTACH_GUARD", raising=False)
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    payload = json.loads(lines[-1])
+    assert payload["value"] > 0
+    assert "error" not in payload
+    # value is per-chip (divided by jax.device_count(), 8 virtual here).
+    n_chips = payload["extras"]["n_chips"]
+    assert payload["value"] == pytest.approx(20_000.0 / n_chips, rel=1e-3)
+    assert payload["vs_baseline"] == pytest.approx(
+        payload["value"] / bench.A100_DCGAN_IMG_PER_SEC, rel=1e-2
+    )
+
+
 def test_fori_chain_threads_pytree_state():
     def step(s):
         return {"a": s["a"] + 1, "b": s["b"] * 2.0}

@@ -96,6 +96,24 @@ def test_artifacts_written(tmp_path):
     assert (tmp_path / "checkpoints" / "last").exists()
 
 
+def test_best_checkpoint_written_on_mid_epoch_stop(tmp_path):
+    """A --max_steps run usually stops mid-epoch, skipping every
+    epoch-boundary maybe_save_best; the final-validation path must still
+    write the 'best' checkpoint (regression: it validated but never saved,
+    so --eval_which best had nothing to read)."""
+    t = Trainer(
+        make_model(), make_dm(16), tmp_path, max_steps=3,
+        log_every_n_steps=1, sample_every_n_steps=0, check_val_every_n_epoch=1,
+    )
+    t.fit()
+    assert (tmp_path / "checkpoints" / "best").exists()
+    meta = json.loads(
+        (tmp_path / "checkpoints" / "checkpoint_meta_best.json").read_text()
+    )
+    assert meta["step"] == 3
+    assert np.isfinite(meta["best_value"])
+
+
 def test_unroll_steps_matches_single_dispatch(tmp_path):
     """unroll_steps=2 must produce exactly the same parameters as the
     single-step dispatch over the same batches."""
