@@ -36,7 +36,10 @@ class CheckpointManager:
         self._checkpointer = ocp.StandardCheckpointer()
         meta = self._read_meta("best") or self._read_meta("last")
         if meta:
-            self.best_value = meta.get("best_value", np.inf)
+            # "no best yet" is serialized as null (raw Infinity is not
+            # strict JSON and breaks external parsers like jq).
+            value = meta.get("best_value")
+            self.best_value = np.inf if value is None else float(value)
 
     def _meta_path(self, which: str) -> Path:
         # Per-checkpoint metadata: 'best' and 'last' each carry the step/epoch
@@ -61,7 +64,11 @@ class CheckpointManager:
                     "step": int(step),
                     "epoch": int(epoch),
                     "monitor": self.monitor,
-                    "best_value": float(self.best_value),
+                    "best_value": (
+                        float(self.best_value)
+                        if np.isfinite(self.best_value)
+                        else None
+                    ),
                 },
                 f,
             )

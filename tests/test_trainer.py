@@ -114,6 +114,22 @@ def test_best_checkpoint_written_on_mid_epoch_stop(tmp_path):
     assert np.isfinite(meta["best_value"])
 
 
+def test_checkpoint_meta_is_strict_json_without_best(tmp_path):
+    """Before any best exists, best_value=inf must serialize as null —
+    raw ``Infinity`` is not strict JSON and breaks external parsers —
+    and must round-trip back to +inf on a fresh manager."""
+    from lightning_generative_models_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(tmp_path)
+    ckpt._write_meta("last", step=5, epoch=0)
+    text = (tmp_path / "checkpoint_meta_last.json").read_text()
+    assert "Infinity" not in text
+    meta = json.loads(text)
+    assert meta["best_value"] is None
+    fresh = CheckpointManager(tmp_path)
+    assert fresh.best_value == float("inf")
+
+
 def test_unroll_steps_matches_single_dispatch(tmp_path):
     """unroll_steps=2 must produce exactly the same parameters as the
     single-step dispatch over the same batches."""
