@@ -117,6 +117,70 @@ def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
     return jax.tree_util.tree_map(_place, batch)
 
 
+def fsdp_sharding(
+    x: Any,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    min_size: int = 2**16,
+) -> NamedSharding:
+    """FSDP sharding rule for one state leaf: shard the largest dimension
+    divisible by the mesh axis size; replicate small or indivisible leaves.
+
+    This is ZeRO-3 / FSDP expressed the TPU way (scaling-book recipe): the
+    sharding is a *layout annotation* and XLA's SPMD partitioner inserts the
+    all-gather at each parameter's use site and the reduce-scatter on its
+    gradient — no wrapper modules or hand-written comm (contrast: torch FSDP
+    wraps every module). The rule is a pure function of the leaf shape, so
+    checkpoint restore and resume re-derive identical shardings.
+
+    ``min_size`` keeps tiny leaves (biases, norm scales) replicated: sharding
+    a 64-element bias saves nothing and adds a collective.
+    """
+    n = mesh.shape[axis]
+    shape = tuple(getattr(x, "shape", ()))
+    size = int(np.prod(shape)) if shape else 0
+    if n <= 1 or size < min_size:
+        return NamedSharding(mesh, P())
+    candidates = [d for d in range(len(shape)) if shape[d] % n == 0]
+    if not candidates:
+        return NamedSharding(mesh, P())
+    d = max(candidates, key=lambda i: shape[i])
+    spec: list = [None] * len(shape)
+    spec[d] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_state(
+    tree: Any,
+    mesh: Mesh,
+    fsdp: bool = False,
+    min_size: int = 2**16,
+) -> Any:
+    """Place a TrainState pytree on the mesh: replicated (data-parallel
+    default) or FSDP-sharded (params + optimizer moments + EMA distributed
+    over the data axis; XLA inserts all-gather/reduce-scatter).
+
+    Multi-host: every process holds the full host value (seeded init or
+    checkpoint restore), so each leaf's global array is assembled via
+    ``make_array_from_callback`` — each host materialises only the index
+    slices of its addressable shards.
+    """
+    if not fsdp:
+        return replicate(tree, mesh)
+    multi_host = jax.process_count() > 1
+
+    def _place(x: Any) -> jax.Array:
+        sharding = fsdp_sharding(x, mesh, min_size=min_size)
+        if multi_host:
+            host = np.asarray(x)
+            return jax.make_array_from_callback(
+                host.shape, sharding, lambda idx: host[idx]
+            )
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(_place, tree)
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Replicate a pytree (params / optimizer state) across the mesh.
 

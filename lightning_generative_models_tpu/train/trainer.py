@@ -58,6 +58,7 @@ class Trainer:
         profile_steps: Optional[tuple[int, int]] = None,
         unroll_steps: int = 1,
         grad_accum_mode: str = "auto",
+        strategy: str = "data_parallel",
     ):
         self.model = model
         self.datamodule = datamodule
@@ -73,6 +74,16 @@ class Trainer:
         self.num_sample_images = num_sample_images
         self.seed = seed
         self.profile_steps = profile_steps
+        # "data_parallel": params replicated, batch sharded (reference DDP
+        # semantics, utils/lightning_utils.py:23-56). "fsdp": params +
+        # optimizer state + EMA additionally sharded over the data axis
+        # (ZeRO-3 via GSPMD; see parallel/mesh.py:fsdp_sharding) — same math,
+        # per-device state memory divided by the mesh size.
+        if strategy not in ("data_parallel", "ddp", "auto", "fsdp"):
+            raise ValueError(
+                f"strategy must be data_parallel|ddp|auto|fsdp, got {strategy!r}"
+            )
+        self.fsdp = strategy == "fsdp"
 
         if accumulate_grad_batches > 1 and not getattr(
             model, "supports_grad_accum", True
@@ -191,7 +202,7 @@ class Trainer:
                 state, Path(ckpt_path).name
             )
 
-        state = mesh_lib.replicate(state, self.mesh)
+        state = mesh_lib.shard_state(state, self.mesh, fsdp=self.fsdp)
         self._log_model_summary(state)
 
         prev_handler = signal.getsignal(signal.SIGTERM)
@@ -519,7 +530,7 @@ class Trainer:
                     "initialized weights.",
                     which, self.ckpt.directory,
                 )
-            state = mesh_lib.replicate(state, self.mesh)
+            state = mesh_lib.shard_state(state, self.mesh, fsdp=self.fsdp)
         means = self._eval_over(state, self.datamodule.test_batches())
         renamed = {
             (k.replace("val_", "test_", 1) if k.startswith("val_")

@@ -88,6 +88,75 @@ def test_sharded_train_matches_single_device_updates(rng):
         )
 
 
+def test_fsdp_sharding_rule():
+    """The FSDP rule shards the largest divisible dim and replicates small
+    or indivisible leaves — and is a pure function of the shape (restore
+    re-derives identical shardings)."""
+    mesh = mesh_lib.create_mesh()  # 8 devices, axis "data"
+    big = jnp.zeros((784, 512))
+    s = mesh_lib.fsdp_sharding(big, mesh, min_size=64)
+    assert s.spec == jax.sharding.PartitionSpec("data", None)  # 784 > 512
+
+    tall = jnp.zeros((3, 3, 64, 128))
+    s = mesh_lib.fsdp_sharding(tall, mesh, min_size=64)
+    assert s.spec == jax.sharding.PartitionSpec(None, None, None, "data")
+
+    # Small leaves (biases) and indivisible shapes stay replicated.
+    assert mesh_lib.fsdp_sharding(jnp.zeros((63,)), mesh, min_size=64).spec \
+        == jax.sharding.PartitionSpec()
+    assert mesh_lib.fsdp_sharding(
+        jnp.zeros((9, 9)), mesh, min_size=4
+    ).spec == jax.sharding.PartitionSpec()
+    assert mesh_lib.fsdp_sharding(jnp.zeros(()), mesh).spec \
+        == jax.sharding.PartitionSpec()
+
+
+def test_fsdp_update_matches_replicated(rng):
+    """One FSDP-sharded train step == one replicated train step (same batch,
+    same rng): parameter sharding is a layout annotation, not a math change.
+    Also: the donated step must RETURN state with the sharding intact (GSPMD
+    propagation), or every step would silently re-gather to replicated."""
+    model = vae()
+    b = batch()
+    mesh = mesh_lib.create_mesh()
+
+    s_rep = mesh_lib.shard_state(model.init_state(rng), mesh, fsdp=False)
+    s_fsdp = mesh_lib.shard_state(
+        model.init_state(rng), mesh, fsdp=True, min_size=64
+    )
+    n_sharded = sum(
+        1 for leaf in jax.tree_util.tree_leaves(s_fsdp.params)
+        if not leaf.sharding.is_fully_replicated
+    )
+    assert n_sharded >= 10, "min_size=64 must actually shard the VAE weights"
+    # Optimizer moments follow the same rule (that's where FSDP memory wins).
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(s_fsdp.opt_state)
+    )
+
+    bs = mesh_lib.shard_batch(b, mesh)
+    step = jax.jit(model.train_step, donate_argnums=0)
+    s_rep, m_rep = step(s_rep, bs, rng)
+    s_fsdp, m_fsdp = step(s_fsdp, bs, rng)
+
+    np.testing.assert_allclose(
+        float(m_rep["train_loss"]), float(m_fsdp["train_loss"]), rtol=1e-6
+    )
+    assert n_sharded == sum(
+        1 for leaf in jax.tree_util.tree_leaves(s_fsdp.params)
+        if not leaf.sharding.is_fully_replicated
+    ), "updated params lost their FSDP sharding"
+    for l1, l2 in zip(
+        jax.tree_util.tree_leaves(s_rep.params),
+        jax.tree_util.tree_leaves(s_fsdp.params),
+    ):
+        # atol 1e-5: reduce-scatter vs all-reduce grad reduction order.
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as graft
 

@@ -51,6 +51,53 @@ def test_grad_accum_equals_bigger_batch(tmp_path):
                                    atol=1e-7)
 
 
+def test_fsdp_strategy_end_to_end(tmp_path):
+    """--strategy fsdp: same training math as data_parallel (identical
+    params after 3 steps), state actually sharded during the run, and the
+    checkpoint written from sharded state restores + resumes cleanly."""
+    t1 = Trainer(
+        make_model(), make_dm(16), tmp_path / "dp", max_steps=3,
+        log_every_n_steps=1, sample_every_n_steps=0, check_val_every_n_epoch=99,
+    )
+    s1 = t1.fit()
+    t2 = Trainer(
+        make_model(), make_dm(16), tmp_path / "fsdp", max_steps=3,
+        log_every_n_steps=1, sample_every_n_steps=0, check_val_every_n_epoch=99,
+        strategy="fsdp",
+    )
+    s2 = t2.fit()
+    import jax
+
+    # The VAE's big dense kernels are >= 2**16 elements: the default
+    # min_size must shard them (the feature must not be a silent no-op).
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(s2.params)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+    # Resume from the checkpoint that was saved from sharded arrays.
+    t3 = Trainer(
+        make_model(), make_dm(16), tmp_path / "fsdp", max_steps=5,
+        log_every_n_steps=1, sample_every_n_steps=0, check_val_every_n_epoch=99,
+        strategy="fsdp",
+    )
+    s3 = t3.fit(resume=True)
+    assert t3.global_step == 5
+    assert np.isfinite(
+        float(np.asarray(jax.tree_util.tree_leaves(s3.params)[0]).sum())
+    )
+
+
+def test_trainer_rejects_unknown_strategy(tmp_path):
+    with pytest.raises(ValueError, match="strategy"):
+        Trainer(make_model(), make_dm(16), tmp_path, strategy="pipeline")
+
+
 def test_gan_ignores_grad_accum(tmp_path):
     gan = load_model(
         {"name": "GAN", "args": {"img_channels": 1, "img_size": 28,

@@ -44,7 +44,15 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
     parser.add_argument("--check_val_every_n_epoch", type=int, default=5)
     parser.add_argument("--max_epochs", type=int, default=-1)
     parser.add_argument("--max_steps", type=int, default=-1)
-    parser.add_argument("--strategy", type=str, default="data_parallel")
+    parser.add_argument(
+        "--strategy", type=str, default="data_parallel",
+        choices=("data_parallel", "ddp", "auto", "fsdp"),
+        help="data_parallel/ddp/auto: params replicated, batch sharded over "
+        "the device mesh (reference DDP autodetect). fsdp: additionally "
+        "shard params/optimizer state/EMA over the data axis (ZeRO-3 via "
+        "GSPMD sharding annotations) — identical math, per-device state "
+        "memory divided by the mesh size.",
+    )
     parser.add_argument("--accumulate_grad_batches", type=int, default=1)
     parser.add_argument(
         "--precision", type=str, default=None,
@@ -194,6 +202,7 @@ def main(argv=None):
         unroll_steps=args.unroll_steps,
         sample_every_n_steps=args.sample_every_n_steps,
         grad_accum_mode=args.grad_accum_mode,
+        strategy=args.strategy,
     )
     if args.eval_split == "test":
         metrics = trainer.test(which=args.eval_which)
