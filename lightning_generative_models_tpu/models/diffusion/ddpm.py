@@ -36,7 +36,11 @@ from lightning_generative_models_tpu.models.diffusion.gaussian_diffusion import 
 )
 from lightning_generative_models_tpu.models.diffusion.unet import UNet
 from lightning_generative_models_tpu.ops.preprocess import prepare_batch
-from lightning_generative_models_tpu.train.state import TrainState, ema_update
+from lightning_generative_models_tpu.train.state import (
+    TrainState,
+    default_mu_dtype,
+    ema_update,
+)
 
 
 class DDPM(GenerativeModel):
@@ -89,7 +93,9 @@ class DDPM(GenerativeModel):
             self_condition=self_condition,
             offset_noise_strength=offset_noise_strength,
         )
-        self.optimizer = optax.adam(lr, b1=betas[0], b2=betas[1])
+        self.optimizer = optax.adam(
+            lr, b1=betas[0], b2=betas[1], mu_dtype=default_mu_dtype()
+        )
 
     # -- state ---------------------------------------------------------------
     def init_state(self, rng: jax.Array) -> TrainState:

@@ -39,6 +39,28 @@ class TrainState:
         return self.replace(params=new_params)
 
 
+# Process-wide dtype for Adam's first moment (``mu``). ``None`` keeps optax's
+# default (moments match the param dtype, fp32 here). ``jnp.bfloat16`` halves
+# mu's HBM footprint; the optimizer slice of a train step is bandwidth-bound
+# over four weight-shaped trees (params, grads, mu, nu), so this trims ~1/8 of
+# that traffic — measured +1.7% on the DDPM bs128 step on a v5e (7530 vs 7403
+# img/s, scripts/conv_attack.py base128/mubf16 interleaved). Changes numerics
+# (not bit-identical): 60-step tiny-DDPM loss trajectories track f32-mu to
+# <=0.13% relative on CPU. Opt-in via ``train.py --mu_dtype bfloat16``; set
+# BEFORE model construction (models bake their optimizer at __init__).
+_MU_DTYPE: Optional[Any] = None
+
+
+def set_default_mu_dtype(dtype: Optional[Any]) -> None:
+    """Set the process-wide Adam first-moment dtype (None = param dtype)."""
+    global _MU_DTYPE
+    _MU_DTYPE = dtype
+
+
+def default_mu_dtype() -> Optional[Any]:
+    return _MU_DTYPE
+
+
 def make_adam(
     lr: float,
     b1: float = 0.9,
@@ -52,7 +74,10 @@ def make_adam(
     steps = []
     if weight_decay:
         steps.append(optax.add_decayed_weights(weight_decay))
-    steps += [optax.scale_by_adam(b1=b1, b2=b2), optax.scale(-lr)]
+    steps += [
+        optax.scale_by_adam(b1=b1, b2=b2, mu_dtype=_MU_DTYPE),
+        optax.scale(-lr),
+    ]
     return optax.chain(*steps)
 
 

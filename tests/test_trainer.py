@@ -2,6 +2,7 @@
 
 import json
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -282,6 +283,38 @@ def test_eval_cli(tmp_path, monkeypatch):
     train_cli.main(args)
     metrics = train_cli.main(args + ["--eval", "test"])
     assert "test_loss" in metrics and np.isfinite(metrics["test_loss"])
+
+
+def test_mu_dtype_cli(tmp_path, monkeypatch):
+    """--mu_dtype bfloat16 trains end-to-end and round-trips a checkpoint
+    resume (mu restored as bf16); the default float32 path is unaffected by
+    a prior bf16 invocation in the same process."""
+    import train as train_cli
+
+    from lightning_generative_models_tpu.train.state import default_mu_dtype
+
+    monkeypatch.setattr(
+        train_cli, "EXPERIMENT_DIR", str(tmp_path), raising=False
+    )
+    args = [
+        "--config_path", "configs/vae/vae.json", "--experiment_name", "mu",
+        "--max_steps", "2", "--check_val_every_n_epoch", "99",
+        "--sample_every_n_steps", "0", "--mu_dtype", "bfloat16",
+    ]
+    train_cli.main(args)
+    assert default_mu_dtype() == jnp.bfloat16
+    run_dir = tmp_path / "VAE" / "mu"
+    ckpt = run_dir / "checkpoints" / "last"
+    assert ckpt.exists()
+    # resume with the same flag: restored mu must be bf16
+    train_cli.main(args[:5] + ["4"] + args[6:] + ["--ckpt_path", str(ckpt)])
+    # a following default-f32 invocation resets the process-wide knob
+    train_cli.main([
+        "--config_path", "configs/vae/vae.json", "--experiment_name", "mu2",
+        "--max_steps", "1", "--check_val_every_n_epoch", "99",
+        "--sample_every_n_steps", "0",
+    ])
+    assert default_mu_dtype() is None
 
 
 def test_sigterm_saves_first_and_skips_validation(tmp_path):

@@ -59,6 +59,15 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
         help="'bf16' forces bfloat16 compute, '32' forces float32, for "
         "models exposing use_bf16 (reference --precision passthrough)",
     )
+    parser.add_argument(
+        "--mu_dtype", type=str, default="float32",
+        choices=["float32", "bfloat16"],
+        help="dtype of Adam's first moment (optax mu_dtype). bfloat16 halves "
+        "mu's HBM footprint in the bandwidth-bound optimizer slice — "
+        "measured +1.7%% on the DDPM bs128 v5e step; numerics change "
+        "slightly (60-step loss trajectories within 0.13%% of float32). "
+        "Keep it consistent across --ckpt_path resumes.",
+    )
     parser.add_argument("--ckpt_path", type=str, default=None)
     parser.add_argument("--seed", type=int, default=10)
     parser.add_argument(
@@ -151,6 +160,17 @@ def main(argv=None):
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+
+    # Must run BEFORE load_model: models bake their optimizer at __init__.
+    # Set unconditionally so repeated in-process main() calls don't leak the
+    # previous invocation's choice.
+    import jax.numpy as jnp
+
+    from lightning_generative_models_tpu.train.state import set_default_mu_dtype
+
+    set_default_mu_dtype(
+        jnp.bfloat16 if args.mu_dtype == "bfloat16" else None
+    )
 
     if args.precision:
         import inspect
