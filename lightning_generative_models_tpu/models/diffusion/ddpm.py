@@ -39,7 +39,9 @@ from lightning_generative_models_tpu.ops.preprocess import prepare_batch
 from lightning_generative_models_tpu.train.state import (
     TrainState,
     default_mu_dtype,
+    default_nu_dtype,
     ema_update,
+    with_nu_dtype,
 )
 
 
@@ -93,8 +95,9 @@ class DDPM(GenerativeModel):
             self_condition=self_condition,
             offset_noise_strength=offset_noise_strength,
         )
-        self.optimizer = optax.adam(
-            lr, b1=betas[0], b2=betas[1], mu_dtype=default_mu_dtype()
+        self.optimizer = with_nu_dtype(
+            optax.adam(lr, b1=betas[0], b2=betas[1], mu_dtype=default_mu_dtype()),
+            default_nu_dtype(),
         )
 
     # -- state ---------------------------------------------------------------

@@ -50,6 +50,15 @@ class TrainState:
 # BEFORE model construction (models bake their optimizer at __init__).
 _MU_DTYPE: Optional[Any] = None
 
+# Same story for the second moment (``nu``): optax has no nu_dtype knob, so
+# ``with_nu_dtype`` wraps the transform to store nu in bf16 (compute stays
+# f32 via type promotion inside scale_by_adam). Measured +0.9% on top of
+# bf16-mu on the DDPM bs128 v5e step (7579 vs 7510 img/s; +1.9% total over
+# f32 moments). Numerics: bf16's 8-bit mantissa perturbs the per-param step
+# scale ~0.2% after the sqrt; 60-step tiny-DDPM loss trajectories track f32
+# to <=0.23% relative on CPU. Opt-in via ``train.py --nu_dtype bfloat16``.
+_NU_DTYPE: Optional[Any] = None
+
 
 def set_default_mu_dtype(dtype: Optional[Any]) -> None:
     """Set the process-wide Adam first-moment dtype (None = param dtype)."""
@@ -59,6 +68,48 @@ def set_default_mu_dtype(dtype: Optional[Any]) -> None:
 
 def default_mu_dtype() -> Optional[Any]:
     return _MU_DTYPE
+
+
+def set_default_nu_dtype(dtype: Optional[Any]) -> None:
+    """Set the process-wide Adam second-moment dtype (None = param dtype)."""
+    global _NU_DTYPE
+    _NU_DTYPE = dtype
+
+
+def default_nu_dtype() -> Optional[Any]:
+    return _NU_DTYPE
+
+
+def with_nu_dtype(
+    opt: optax.GradientTransformation, dtype: Optional[Any]
+) -> optax.GradientTransformation:
+    """Store any ``nu`` field in the optimizer state as ``dtype``.
+
+    The state's pytree STRUCTURE is unchanged (only leaf dtypes), so
+    checkpoints remain structurally compatible — but a resume must use the
+    same dtype choice as the original run (documented on the CLI flag).
+    """
+    if dtype is None:
+        return opt
+
+    def _cast(state: Any) -> Any:
+        return jax.tree_util.tree_map(
+            lambda s: s._replace(
+                nu=jax.tree_util.tree_map(lambda x: x.astype(dtype), s.nu)
+            )
+            if hasattr(s, "nu")
+            else s,
+            state,
+            is_leaf=lambda s: hasattr(s, "nu"),
+        )
+
+    def _update(updates, state, params=None):
+        u, s = opt.update(updates, state, params)
+        return u, _cast(s)
+
+    return optax.GradientTransformation(
+        lambda params: _cast(opt.init(params)), _update
+    )
 
 
 def make_adam(
@@ -78,7 +129,7 @@ def make_adam(
         optax.scale_by_adam(b1=b1, b2=b2, mu_dtype=_MU_DTYPE),
         optax.scale(-lr),
     ]
-    return optax.chain(*steps)
+    return with_nu_dtype(optax.chain(*steps), _NU_DTYPE)
 
 
 def make_rmsprop(lr: float) -> optax.GradientTransformation:

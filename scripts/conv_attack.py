@@ -275,6 +275,21 @@ def main():
                 2e-5, b1=0.9, b2=0.99, mu_dtype=jnp.bfloat16
             )
             add(Variant("mubf16", 128, model=model))
+        elif name == "munubf16":
+            # Both Adam moments in bf16 (the shipped --mu_dtype/--nu_dtype
+            # path). Measured: 7579 vs 7440 base / 7510 mubf16 img/s.
+            import optax
+
+            from lightning_generative_models_tpu.train.state import (
+                with_nu_dtype,
+            )
+
+            model = make_model()
+            model.optimizer = with_nu_dtype(
+                optax.adam(2e-5, b1=0.9, b2=0.99, mu_dtype=jnp.bfloat16),
+                jnp.bfloat16,
+            )
+            add(Variant("munubf16", 128, model=model))
         elif name.startswith("vmem"):
             kib = int(name[4:]) * 1024
             add(

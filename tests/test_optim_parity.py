@@ -10,6 +10,7 @@ from lightning_generative_models_tpu.train.state import (
     make_adam,
     make_rmsprop,
     set_default_mu_dtype,
+    set_default_nu_dtype,
 )
 
 
@@ -76,20 +77,45 @@ def test_mu_dtype_bf16_opt_in():
     assert make_adam(1e-2).init(jnp.asarray(w0))[0].mu.dtype == jnp.float32
 
 
+def test_nu_dtype_bf16_opt_in():
+    """--nu_dtype bfloat16: nu stored bf16 through the with_nu_dtype
+    wrapper (structure unchanged — chain tuple preserved), trajectory
+    close to f32, weight decay still composes."""
+    w0 = np.array([0.5, -1.0, 2.0], np.float32)
+    f32 = _run_jax(make_adam(1e-2, 0.9, 0.999, weight_decay=0.1), 25, w0, quad_grad)
+    set_default_nu_dtype(jnp.bfloat16)
+    try:
+        opt = make_adam(1e-2, 0.9, 0.999, weight_decay=0.1)
+        state = opt.init(jnp.asarray(w0))
+        # weight decay prepends a transform: find the adam state in the chain
+        adam_state = next(s for s in state if hasattr(s, "nu"))
+        assert adam_state.nu.dtype == jnp.bfloat16
+        assert adam_state.mu.dtype == jnp.float32
+        bf16 = _run_jax(opt, 25, w0, quad_grad)
+    finally:
+        set_default_nu_dtype(None)
+    np.testing.assert_allclose(bf16, f32, rtol=2e-2, atol=2e-2)
+    assert next(
+        s for s in make_adam(1e-2).init(jnp.asarray(w0)) if hasattr(s, "nu")
+    ).nu.dtype == jnp.float32
+
+
 def test_ddpm_optimizer_respects_mu_dtype():
     """DDPM builds its optimizer at __init__ via optax.adam directly — it
     must also consult the process-wide mu dtype (train.py --mu_dtype)."""
     from lightning_generative_models_tpu.models.diffusion.ddpm import DDPM
 
     set_default_mu_dtype(jnp.bfloat16)
+    set_default_nu_dtype(jnp.bfloat16)
     try:
         m = DDPM(img_size=8, img_channels=1, diffusion_timesteps=8, dim=8)
         state = m.init_state(jax.random.PRNGKey(0))
-        mu = state.opt_state["model"][0].mu
-        leaf = jax.tree_util.tree_leaves(mu)[0]
-        assert leaf.dtype == jnp.bfloat16
+        adam_state = state.opt_state["model"][0]
+        assert jax.tree_util.tree_leaves(adam_state.mu)[0].dtype == jnp.bfloat16
+        assert jax.tree_util.tree_leaves(adam_state.nu)[0].dtype == jnp.bfloat16
     finally:
         set_default_mu_dtype(None)
+        set_default_nu_dtype(None)
 
 
 def test_rmsprop_matches_torch():

@@ -285,6 +285,41 @@ def test_eval_cli(tmp_path, monkeypatch):
     assert "test_loss" in metrics and np.isfinite(metrics["test_loss"])
 
 
+def test_fsdp_grad_accum_mu_dtype_compose(tmp_path):
+    """The three orthogonal knobs — FSDP sharding, gradient accumulation,
+    bf16 first moment — compose in one run: state sharded, accumulation
+    applied, mu stored bf16, training finite."""
+    from lightning_generative_models_tpu.train.state import (
+        set_default_mu_dtype,
+    )
+
+    set_default_mu_dtype(jnp.bfloat16)
+    try:
+        model = make_model()
+    finally:
+        set_default_mu_dtype(None)
+    t = Trainer(
+        model, make_dm(32), tmp_path, max_steps=3, log_every_n_steps=1,
+        sample_every_n_steps=0, check_val_every_n_epoch=99,
+        strategy="fsdp", accumulate_grad_batches=2,
+    )
+    s = t.fit()
+    import jax
+
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(s.params)
+    )
+    mus = [
+        leaf for leaf in jax.tree_util.tree_leaves(s.opt_state)
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.bfloat16
+    ]
+    assert mus, "bf16 first moment missing from the FSDP-sharded opt state"
+    assert np.isfinite(
+        float(np.asarray(jax.tree_util.tree_leaves(s.params)[0]).sum())
+    )
+
+
 def test_mu_dtype_cli(tmp_path, monkeypatch):
     """--mu_dtype bfloat16 trains end-to-end and round-trips a checkpoint
     resume (mu restored as bf16); the default float32 path is unaffected by
@@ -300,6 +335,7 @@ def test_mu_dtype_cli(tmp_path, monkeypatch):
         "--config_path", "configs/vae/vae.json", "--experiment_name", "mu",
         "--max_steps", "2", "--check_val_every_n_epoch", "99",
         "--sample_every_n_steps", "0", "--mu_dtype", "bfloat16",
+        "--nu_dtype", "bfloat16",
     ]
     train_cli.main(args)
     assert default_mu_dtype() == jnp.bfloat16

@@ -68,6 +68,14 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
         "slightly (60-step loss trajectories within 0.13%% of float32). "
         "Keep it consistent across --ckpt_path resumes.",
     )
+    parser.add_argument(
+        "--nu_dtype", type=str, default="float32",
+        choices=["float32", "bfloat16"],
+        help="dtype of Adam's second moment. bfloat16 is a further +0.9%% on "
+        "the DDPM bs128 v5e step on top of --mu_dtype bfloat16 (+1.9%% "
+        "total); 60-step loss trajectories within 0.23%% of float32. Keep "
+        "it consistent across --ckpt_path resumes.",
+    )
     parser.add_argument("--ckpt_path", type=str, default=None)
     parser.add_argument("--seed", type=int, default=10)
     parser.add_argument(
@@ -166,10 +174,16 @@ def main(argv=None):
     # previous invocation's choice.
     import jax.numpy as jnp
 
-    from lightning_generative_models_tpu.train.state import set_default_mu_dtype
+    from lightning_generative_models_tpu.train.state import (
+        set_default_mu_dtype,
+        set_default_nu_dtype,
+    )
 
     set_default_mu_dtype(
         jnp.bfloat16 if args.mu_dtype == "bfloat16" else None
+    )
+    set_default_nu_dtype(
+        jnp.bfloat16 if args.nu_dtype == "bfloat16" else None
     )
 
     if args.precision:
