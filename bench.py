@@ -243,6 +243,31 @@ def bench_ddim50(batch: int = 64, dim: int = 64, img: int = 32):
     rng = jax.random.PRNGKey(0)
     state = jax.jit(model.init_state)(rng)
     sample = jax.jit(lambda r: model.sample(state, r, batch))
+    return _bench_sampler(sample, rng, batch)
+
+
+def bench_dpmpp20(batch: int = 64, dim: int = 64, img: int = 32):
+    """DPM-Solver++(2M) 20-step samples/sec (beyond reference; quality
+    comparable to DDIM-50 at 2.5x fewer UNet evals — see the long_run_r3
+    FID artifacts for the in-repo quality comparison)."""
+    import jax
+
+    from lightning_generative_models_tpu.models.diffusion.ddpm import DDPM
+
+    model = DDPM(
+        img_channels=3, img_size=img, dim=dim,
+        diffusion_timesteps=1000, sampling_timesteps=50,
+    )
+    rng = jax.random.PRNGKey(0)
+    state = jax.jit(model.init_state)(rng)
+    sample = jax.jit(
+        lambda r: model.sample(state, r, batch, method="dpmpp", steps=20)
+    )
+    return _bench_sampler(sample, rng, batch)
+
+
+def _bench_sampler(sample, rng, batch):
+    import jax
 
     def run(n, seed0):
         out = None
@@ -401,6 +426,9 @@ def main():
         v2 = bench_ddim50(batch=128)
         print(json.dumps({"value": v1, "bs128": round(v2, 2)}))
         return 0
+    if args.only == "dpmpp20":
+        print(json.dumps({"value": bench_dpmpp20()}))
+        return 0
     if args.only:
         raise SystemExit(f"unknown --only mode {args.only}")
 
@@ -450,6 +478,7 @@ def main():
             "ddpm_train_images_per_sec", "ddpm_train", seconds=540,
             extra_keys=(("unroll2", "ddpm_train_unroll2_images_per_sec"),),
         )
+        timeboxed("dpmpp20_samples_per_sec", "dpmpp20", seconds=540)
         if "ddim50_samples_per_sec" in extras:
             extras["vs_baseline_ddim50"] = round(
                 extras["ddim50_samples_per_sec"] / A100_DDIM50_SAMPLES_PER_SEC, 3

@@ -69,6 +69,20 @@ def main(argv=None):
         help="cap on real images for --fid statistics (0 = full train split, "
         "the standard protocol)",
     )
+    parser.add_argument(
+        "--sampler", type=str, default="auto",
+        choices=["auto", "ddpm", "ddim", "dpmpp"],
+        help="diffusion sampler: auto keeps the reference convention (DDIM "
+        "iff sampling_timesteps < T); dpmpp = DPM-Solver++(2M), a "
+        "2nd-order ODE solver reaching DDIM-50-comparable quality at "
+        "~15-25 steps (beyond reference)",
+    )
+    parser.add_argument(
+        "--sampling_steps", type=int, default=0,
+        help="override the sampler's step count (0 = the config's "
+        "sampling_timesteps); honored by --sampler ddim/dpmpp (ancestral "
+        "ddpm always runs the full chain)",
+    )
     args = parser.parse_args(argv)
 
     # Persistent compile cache (same as train.py): the DDIM sampler and the
@@ -89,8 +103,11 @@ def main(argv=None):
     print(f"Restored {args.which} checkpoint at step {step} from {exp_dir}")
 
     sample_rng = jax.random.fold_in(rng, 1)
+    sample_fn = _make_sample_fn(model, args)
     if args.fid:
-        return _compute_fid(model, state, config, args, step, exp_dir, sample_rng)
+        return _compute_fid(
+            model, state, config, args, step, exp_dir, sample_rng, sample_fn
+        )
     if args.interpolate:
         if not hasattr(model, "interpolate"):
             raise SystemExit(f"{type(model).__name__} does not support interpolate")
@@ -117,9 +134,7 @@ def main(argv=None):
         labels = jnp.full((args.num_samples,), args.label, jnp.int32)
         images = model.sample_classes(state, sample_rng, labels)
     else:
-        images = jax.jit(model.sample, static_argnums=2)(
-            state, sample_rng, args.num_samples
-        )
+        images = sample_fn(state, sample_rng, args.num_samples)
     images = np.asarray(jax.device_get(images))
 
     out_dir = Path(args.out) if args.out else exp_dir / "generated"
@@ -135,7 +150,28 @@ def main(argv=None):
     return images
 
 
-def _compute_fid(model, state, config, args, step, exp_dir, rng):
+def _make_sample_fn(model, args):
+    """Jitted sample callable honoring --sampler/--sampling_steps (diffusion
+    models only; other families reject the flags with a clear error)."""
+    if args.sampler == "auto" and not args.sampling_steps:
+        return jax.jit(model.sample, static_argnums=2)
+    import inspect
+
+    if "method" not in inspect.signature(model.sample).parameters:
+        raise SystemExit(
+            f"{type(model).__name__} does not support --sampler/"
+            "--sampling_steps (diffusion models only)"
+        )
+    method = None if args.sampler == "auto" else args.sampler
+    steps = args.sampling_steps or None
+
+    def _sample(state, rng, n):
+        return model.sample(state, rng, n, method=method, steps=steps)
+
+    return jax.jit(_sample, static_argnums=2)
+
+
+def _compute_fid(model, state, config, args, step, exp_dir, rng, sample_fn):
     """FID@N protocol (BASELINE.md: '10k/50k generated vs dataset
     statistics, identical uint8 quantization as torchmetrics'; reference
     mechanism gan.py:186-241). One command:
@@ -172,11 +208,10 @@ def _compute_fid(model, state, config, args, step, exp_dir, rng):
     for start in range(0, len(reals), bs):
         fid.update(reals[start : start + bs], real=True)
 
-    sample = jax.jit(model.sample, static_argnums=2)
     done, i = 0, 0
     while done < n:
         b = min(bs, n - done)
-        imgs = sample(state, jax.random.fold_in(rng, i), b)
+        imgs = sample_fn(state, jax.random.fold_in(rng, i), b)
         fake_u8 = np.clip(
             np.asarray(jax.device_get(imgs)) * 255.0, 0, 255
         ).astype(np.uint8)
@@ -196,8 +231,13 @@ def _compute_fid(model, state, config, args, step, exp_dir, rng):
         "dataset": config["dataset"]["name"],
         "synthetic_data": bool(getattr(dm, "is_synthetic", False)),
         "seed": args.seed,
+        "sampler": args.sampler,
+        "sampling_steps": args.sampling_steps or None,
     }
-    out_path = exp_dir / f"fid_{n}_{args.which}_step{step}.json"
+    suffix = "" if args.sampler == "auto" and not args.sampling_steps else (
+        f"_{args.sampler}{args.sampling_steps or ''}"
+    )
+    out_path = exp_dir / f"fid_{n}_{args.which}_step{step}{suffix}.json"
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=2)
     kind = "pretrained" if extractor.pretrained else (

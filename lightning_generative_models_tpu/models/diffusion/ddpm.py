@@ -213,10 +213,21 @@ class DDPM(GenerativeModel):
         )
         return {"val_loss": loss}
 
-    def sample(self, state: TrainState, rng: jax.Array, num_samples: int) -> jax.Array:
-        """EMA-model sampling; DDIM iff sampling_timesteps < timesteps."""
+    def sample(
+        self,
+        state: TrainState,
+        rng: jax.Array,
+        num_samples: int,
+        method: Optional[str] = None,
+        steps: Optional[int] = None,
+    ) -> jax.Array:
+        """EMA-model sampling; default method keeps the reference convention
+        (DDIM iff sampling_timesteps < timesteps). method="dpmpp" selects the
+        DPM-Solver++(2M) ODE solver (beyond reference; ~2-3x fewer UNet evals
+        at comparable quality), with `steps` overriding the NFE count."""
         return self.diffusion.sample(
-            self._apply_fn(state.ema_params), num_samples, rng
+            self._apply_fn(state.ema_params), num_samples, rng,
+            method=method, steps=steps,
         )
 
     def sample_raw(self, state: TrainState, rng: jax.Array, num_samples: int):

@@ -306,13 +306,18 @@ class GaussianDiffusion:
 
     # -- DDIM sampling (ddpm.py:782-834) -----------------------------------------
     def ddim_sample(
-        self, apply_fn: ApplyFn, batch_size: int, rng: jax.Array
+        self,
+        apply_fn: ApplyFn,
+        batch_size: int,
+        rng: jax.Array,
+        steps: Optional[int] = None,
     ) -> jax.Array:
         shape = (batch_size, self.img_size, self.img_size, self.channels)
         eta = self.ddim_sampling_eta
 
         # Strided time pairs, precomputed host-side (ddpm.py:792-798).
-        times = np.linspace(-1, self.num_timesteps - 1, self.sampling_timesteps + 1)
+        steps = steps or self.sampling_timesteps
+        times = np.linspace(-1, self.num_timesteps - 1, steps + 1)
         times = list(reversed(times.astype(int).tolist()))
         pairs = np.asarray(list(zip(times[:-1], times[1:])), np.int32)
 
@@ -346,10 +351,117 @@ class GaussianDiffusion:
         (img, _, _), _ = jax.lax.scan(step, carry0, jnp.asarray(pairs))
         return self.unnormalize(img)
 
-    def sample(self, apply_fn: ApplyFn, batch_size: int, rng: jax.Array) -> jax.Array:
-        if self.is_ddim_sampling:
-            return self.ddim_sample(apply_fn, batch_size, rng)
-        return self.p_sample_loop(apply_fn, batch_size, rng)
+    # -- DPM-Solver++(2M) sampling (beyond reference) ------------------------------
+    def dpmpp_sample(
+        self,
+        apply_fn: ApplyFn,
+        batch_size: int,
+        rng: jax.Array,
+        steps: Optional[int] = None,
+    ) -> jax.Array:
+        """DPM-Solver++(2M): 2nd-order multistep ODE solver in data-prediction
+        form (Lu et al. 2022, arXiv:2211.01095). Deterministic; typically
+        matches DDIM-50 sample quality at ~15-25 model evaluations, so it
+        raises effective samples/sec ~2-3x at fixed quality. Not in the
+        reference (which ships DDPM ancestral + DDIM only); implemented
+        because the solver is a pure `lax.scan` over precomputed
+        (alpha, sigma, lambda) nodes — exactly the shape TPU likes.
+
+        Discretization matches `ddim_sample`'s strided times; the final
+        node (t = -1) returns the x0 prediction, as in the DDIM path.
+        """
+        steps = steps or self.sampling_timesteps
+        shape = (batch_size, self.img_size, self.img_size, self.channels)
+
+        # Host-side nodes: times [T-1 ... -1]; t=-1 is the clean endpoint.
+        times = np.linspace(-1, self.num_timesteps - 1, steps + 1)
+        times = list(reversed(times.astype(int).tolist()))
+        ab = np.asarray(self.alphas_cumprod, np.float64)
+        ab_nodes = np.array([ab[t] if t >= 0 else 1.0 for t in times])
+        a_nodes = np.sqrt(ab_nodes)  # VP-ODE alpha_t
+        s_nodes = np.sqrt(1.0 - ab_nodes)  # VP-ODE sigma_t
+        # lambda = log(alpha/sigma); +inf at the clean endpoint (never read:
+        # the final step short-circuits to the x0 prediction).
+        with np.errstate(divide="ignore"):
+            lam_nodes = np.log(a_nodes) - np.log(s_nodes)
+
+        per_step = jnp.asarray(
+            np.stack(
+                [
+                    np.array(times[:-1], np.float64),  # t (model eval time)
+                    np.array(times[1:], np.float64),  # t_next
+                    a_nodes[1:],  # alpha_{t_next}
+                    s_nodes[:-1],  # sigma_t
+                    s_nodes[1:],  # sigma_{t_next}
+                    lam_nodes[:-1],  # lambda_t
+                    np.nan_to_num(lam_nodes[1:], posinf=0.0),  # lambda_{t_next}
+                ],
+                axis=1,
+            ),
+            jnp.float32,
+        )
+
+        # Same init-noise key derivation as ddim_sample, so the two samplers
+        # start from the identical x_T for a given rng (the solver itself is
+        # deterministic — no loop noise).
+        init_rng, _ = jax.random.split(rng)
+        img0 = jax.random.normal(init_rng, shape)
+
+        def step(carry, row):
+            img, x0_prev, lam_prev, i = carry
+            t, t_next = row[0].astype(jnp.int32), row[1].astype(jnp.int32)
+            a_next, s_t, s_next, lam_t, lam_next = row[2], row[3], row[4], row[5], row[6]
+
+            self_cond = x0_prev if self.self_condition else None
+            t_b = jnp.full((batch_size,), t, jnp.int32)
+            _, x0 = self.model_predictions(
+                apply_fn, img, t_b, self_cond, clip_x_start=True
+            )
+
+            h = lam_next - lam_t
+            ratio = s_next / s_t
+            phi = jnp.expm1(-h)  # e^{-h} - 1
+
+            # First-order (DPM-Solver++(1), == DDIM eta=0 on these nodes).
+            x1 = ratio * img - a_next * phi * x0
+            # Second-order multistep: extrapolate x0 through the previous node.
+            r = (lam_t - lam_prev) / h
+            D = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+            x2 = ratio * img - a_next * phi * D
+
+            nxt = jnp.where(i == 0, x1, x2)
+            # Final node (t_next < 0): the x0 prediction itself.
+            img = jnp.where(t_next >= 0, nxt, x0)
+            return (img, x0, lam_t, i + 1), None
+
+        carry0 = (
+            img0,
+            jnp.zeros_like(img0),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.int32),
+        )
+        (img, _, _, _), _ = jax.lax.scan(step, carry0, per_step)
+        return self.unnormalize(img)
+
+    def sample(
+        self,
+        apply_fn: ApplyFn,
+        batch_size: int,
+        rng: jax.Array,
+        method: Optional[str] = None,
+        steps: Optional[int] = None,
+    ) -> jax.Array:
+        """Dispatch: default (method=None) keeps the reference convention —
+        DDIM iff sampling_timesteps < timesteps, ancestral otherwise."""
+        if method is None:
+            method = "ddim" if self.is_ddim_sampling else "ddpm"
+        if method == "dpmpp":
+            return self.dpmpp_sample(apply_fn, batch_size, rng, steps=steps)
+        if method == "ddim":
+            return self.ddim_sample(apply_fn, batch_size, rng, steps=steps)
+        if method == "ddpm":
+            return self.p_sample_loop(apply_fn, batch_size, rng)
+        raise ValueError(f"unknown sampling method {method!r}")
 
     # -- interpolation (ddpm.py:847-867) ------------------------------------------
     def interpolate(

@@ -224,3 +224,41 @@ def test_generate_cli_interpolate(tmp_path, monkeypatch):
     assert images.shape[0] == 4
     pngs = list(exp_dir.rglob("interpolation_*.png"))
     assert pngs, "interpolation grid PNG not written"
+
+    # --sampler dpmpp + --sampling_steps through the same checkpoint.
+    images = generate.main([
+        "--config_path", str(cfg_path),
+        "--experiment_name", "run1",
+        "--num_samples", "2",
+        "--sampler", "dpmpp",
+        "--sampling_steps", "3",
+    ])
+    assert images.shape == (2, 8, 8, 1) and np.all(np.isfinite(images))
+
+    # Non-diffusion models reject the flag with a clear error.
+    import pytest
+
+    vae_config = {
+        "model": {"name": "VAE",
+                  "args": {"img_channels": 1, "img_size": 8,
+                           "latent_dim": 4, "lr": 1e-3}},
+        "dataset": {"name": "MNIST", "img_size": 8, "img_channels": 1,
+                    "batch_size": 8},
+    }
+    vae_cfg = tmp_path / "vae_tiny.json"
+    vae_cfg.write_text(json.dumps(vae_config))
+    from lightning_generative_models_tpu.registry import load_model as _lm
+
+    Trainer(
+        _lm(vae_config["model"]),
+        DataModule(name="MNIST", img_size=8, img_channels=1, batch_size=8,
+                   synthetic_size=32),
+        exp_root / "VAE" / "run1", max_steps=1, log_every_n_steps=1,
+        sample_every_n_steps=0, check_val_every_n_epoch=99,
+    ).fit()
+    with pytest.raises(SystemExit, match="does not support --sampler"):
+        generate.main([
+            "--config_path", str(vae_cfg),
+            "--experiment_name", "run1",
+            "--sampler", "dpmpp",
+        ])

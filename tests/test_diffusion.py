@@ -286,6 +286,90 @@ def test_ddim_deterministic_with_eta0(rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_dpmpp_exact_on_delta_data(rng):
+    """DPM-Solver++(2M) is EXACT when the model's x0 prediction is constant
+    (delta data distribution): every probability-flow trajectory is
+    x_t = alpha_t*x0 + sigma_t*c, and both the first-order and the 2M update
+    reproduce it in closed form. Any coefficient/sign error breaks this."""
+    gd = make_diffusion(objective="pred_noise", timesteps=100)
+    x0_star = 0.5  # inside the clip range
+
+    def apply_fn(x, t, self_cond):
+        # Perfect denoiser for data == delta(x0_star): eps = (x_t - a_t x0)/s_t
+        nd = x.ndim
+        a = _extract_like(gd.sqrt_alphas_cumprod, t, nd)
+        s = _extract_like(gd.sqrt_one_minus_alphas_cumprod, t, nd)
+        return (x - a * x0_star) / s
+
+    for steps in (1, 3, 10):
+        out = gd.dpmpp_sample(apply_fn, 2, rng, steps=steps)
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.full((2, 8, 8, 1), (x0_star + 1) / 2, np.float32),
+            rtol=0, atol=1e-4,  # f32 roundoff; worst at steps=1 (one big h)
+        )
+
+
+def _extract_like(a, t, ndim):
+    return a[t].reshape(t.shape[0], *((1,) * (ndim - 1)))
+
+
+def test_dpmpp_one_step_equals_ddim_one_step(rng):
+    """At a single step both samplers return the x0 prediction from the same
+    x_T (shared init-key derivation) — bitwise-comparable check that the
+    node discretization and the final-step convention line up."""
+    model = _tiny_ddpm(sampling_timesteps=1)
+    state = model.init_state(rng)
+    ddim = model.sample(state, rng, 2)  # auto -> ddim (1 step)
+    dpmpp = model.sample(state, rng, 2, method="dpmpp", steps=1)
+    np.testing.assert_allclose(
+        np.asarray(ddim), np.asarray(dpmpp), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_dpmpp_matches_ddim_at_high_step_count(rng):
+    """Both samplers discretize the same probability-flow ODE; at a fine
+    discretization on a smooth (random-init) model their outputs must agree
+    closely. Catches wrong lambda/step bookkeeping that the delta-data test
+    (constant x0) cannot see."""
+    model = _tiny_ddpm(sampling_timesteps=20)  # == timesteps: every node
+    state = model.init_state(rng)
+    ddim = model.sample(state, rng, 2, method="ddim")
+    dpmpp = model.sample(state, rng, 2, method="dpmpp", steps=20)
+    diff = float(jnp.abs(ddim - dpmpp).mean())
+    assert diff < 0.02, f"dpmpp vs ddim mean abs diff {diff}"
+
+
+def test_dpmpp_shapes_range_determinism(rng):
+    model = _tiny_ddpm(sampling_timesteps=5)
+    state = model.init_state(rng)
+    a = model.sample(state, rng, 2, method="dpmpp", steps=4)
+    b = model.sample(state, rng, 2, method="dpmpp", steps=4)
+    assert a.shape == (2, 16, 16, 1)
+    assert 0.0 <= float(a.min()) and float(a.max()) <= 1.0
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.all(np.isfinite(np.asarray(a)))
+
+
+def test_ddim_steps_override(rng):
+    """`steps` overrides the config's sampling_timesteps on the DDIM path:
+    a 3-step override from a 5-step config equals a model configured with
+    sampling_timesteps=3 outright (identical node discretization + init key)."""
+    m5 = _tiny_ddpm(sampling_timesteps=5)
+    m3 = _tiny_ddpm(sampling_timesteps=3)
+    state = m5.init_state(rng)
+    a = m5.diffusion.ddim_sample(m5._apply_fn(state.ema_params), 2, rng, steps=3)
+    b = m3.diffusion.ddim_sample(m3._apply_fn(state.ema_params), 2, rng)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sample_method_dispatch_rejects_unknown(rng):
+    model = _tiny_ddpm()
+    state = model.init_state(rng)
+    with pytest.raises(ValueError, match="unknown sampling method"):
+        model.sample(state, rng, 1, method="euler")
+
+
 def test_interpolate(rng):
     model = _tiny_ddpm()
     state = model.init_state(rng)
