@@ -43,7 +43,12 @@ def main(argv=None):
     )
     parser.add_argument(
         "--label", type=int, default=None,
-        help="class label for conditional models (CGAN/ACGAN)",
+        help="class label for conditional models (CGAN/ACGAN/conditional DDPM)",
+    )
+    parser.add_argument(
+        "--guidance_scale", type=float, default=None,
+        help="classifier-free guidance scale for --label on a conditional "
+        "DDPM (default: the model config's guidance_scale)",
     )
     parser.add_argument(
         "--interpolate", type=int, default=0, metavar="N",
@@ -129,10 +134,28 @@ def main(argv=None):
         print(f"Wrote {path}")
         return images
     if args.label is not None and hasattr(model, "sample_classes"):
+        import inspect
+
         import jax.numpy as jnp
 
         labels = jnp.full((args.num_samples,), args.label, jnp.int32)
-        images = model.sample_classes(state, sample_rng, labels)
+        sig = inspect.signature(model.sample_classes).parameters
+        kwargs = {}
+        if args.sampler != "auto" or args.sampling_steps:
+            if "method" not in sig:
+                raise SystemExit(
+                    f"{type(model).__name__}.sample_classes does not support "
+                    "--sampler/--sampling_steps"
+                )
+            kwargs["method"] = None if args.sampler == "auto" else args.sampler
+            kwargs["steps"] = args.sampling_steps or None
+        if args.guidance_scale is not None:
+            if "guidance_scale" not in sig:
+                raise SystemExit(
+                    f"{type(model).__name__} does not support --guidance_scale"
+                )
+            kwargs["guidance_scale"] = args.guidance_scale
+        images = model.sample_classes(state, sample_rng, labels, **kwargs)
     else:
         images = sample_fn(state, sample_rng, args.num_samples)
     images = np.asarray(jax.device_get(images))

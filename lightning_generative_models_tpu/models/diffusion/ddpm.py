@@ -67,17 +67,33 @@ class DDPM(GenerativeModel):
         use_bf16: bool = True,
         flash_attn: bool = False,
         dim_mults: Tuple[int, ...] = (1, 2, 4, 8),
+        num_classes: Optional[int] = None,
+        cond_drop_prob: float = 0.1,
+        guidance_scale: float = 3.0,
     ):
+        """``num_classes`` enables class-conditional training with
+        classifier-free guidance (beyond reference — the reference diffusion
+        stack is unconditional; its conditional models are CGAN/ACGAN):
+        labels are dropped to a learned null token with probability
+        ``cond_drop_prob`` during training (Ho & Salimans 2022,
+        arXiv:2207.12598), and sampling combines the conditional and
+        unconditional predictions as u + w*(c - u) with w =
+        ``guidance_scale`` (w=1 → purely conditional, w=0 → unconditional).
+        """
         super().__init__(img_channels, img_size)
         self.ema_update_every = ema_update_every
         self.ema_decay = ema_decay
         self.ema_update_after_step = ema_update_after_step
+        self.num_classes = int(num_classes or 0)
+        self.cond_drop_prob = cond_drop_prob
+        self.guidance_scale = guidance_scale
 
         self.unet = UNet(
             dim=dim,
             dim_mults=tuple(dim_mults),
             channels=img_channels,
             self_condition=self_condition,
+            num_classes=num_classes,
             flash_attn=flash_attn,
             dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
         )
@@ -104,7 +120,10 @@ class DDPM(GenerativeModel):
     def init_state(self, rng: jax.Array) -> TrainState:
         x = jnp.zeros((1, *self.image_shape()))
         t = jnp.zeros((1,), jnp.int32)
-        params = self.unet.init(rng, x, t)["params"]
+        kwargs = (
+            {"labels": jnp.zeros((1,), jnp.int32)} if self.num_classes else {}
+        )
+        params = self.unet.init(rng, x, t, **kwargs)["params"]
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params={"model": params},
@@ -113,14 +132,60 @@ class DDPM(GenerativeModel):
             ema_params=jax.tree_util.tree_map(jnp.copy, params),
         )
 
-    def _apply_fn(self, params):
+    def _apply_fn(self, params, labels=None):
+        """UNet apply closure for GaussianDiffusion. For a conditional model
+        ``labels`` rides in the closure so every sampler/loss path stays
+        label-agnostic; unconditional models ignore it."""
+        if self.num_classes:
+            if labels is None:
+                raise ValueError(
+                    "conditional DDPM: _apply_fn requires labels "
+                    "(use null_labels(B) for unconditional)"
+                )
+
+            def apply(x, t, x_self_cond=None):
+                return self.unet.apply(
+                    {"params": params}, x, t, x_self_cond, labels=labels
+                )
+
+            return apply
+
         def apply(x, t, x_self_cond=None):
             return self.unet.apply({"params": params}, x, t, x_self_cond)
 
         return apply
 
+    def null_labels(self, batch: int) -> jax.Array:
+        """The learned null (unconditional) token, broadcast to a batch."""
+        return jnp.full((batch,), self.unet.null_class, jnp.int32)
+
+    def _guided_apply_fn(self, params, labels, w):
+        """Classifier-free-guided closure: one UNet eval on the doubled
+        batch [cond; uncond] (a single 2B MXU pass beats two B passes on
+        TPU), combined as u + w*(c - u) on the raw network output — valid
+        for every objective parameterization (eps/x0/v are all linear in
+        the network output)."""
+        b = labels.shape[0]
+        lab2 = jnp.concatenate([labels.astype(jnp.int32), self.null_labels(b)])
+
+        def apply(x, t, x_self_cond=None):
+            x2 = jnp.concatenate([x, x])
+            t2 = jnp.concatenate([t, t])
+            sc2 = (
+                None if x_self_cond is None
+                else jnp.concatenate([x_self_cond, x_self_cond])
+            )
+            out = self.unet.apply({"params": params}, x2, t2, sc2, labels=lab2)
+            c, u = out[:b], out[b:]
+            return u + w * (c - u)
+
+        return apply
+
     def summary_spec(self):
         """Per-layer UNet table (reference torchinfo summary, ddpm.py:1061-1094)."""
+        kwargs = (
+            {"labels": jnp.zeros((1,), jnp.int32)} if self.num_classes else {}
+        )
         return {
             "unet": (
                 self.unet,
@@ -128,18 +193,31 @@ class DDPM(GenerativeModel):
                     jnp.zeros((1, *self.image_shape())),
                     jnp.zeros((1,), jnp.int32),
                 ),
-                {},
+                kwargs,
             )
         }
 
     # -- steps ------------------------------------------------------------------
     def grad_step(self, state: TrainState, batch: Batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
-        aug_rng, loss_rng = jax.random.split(rng)
-        x01 = prepare_batch(batch, aug_rng, train=True)["image"]
+        aug_rng, loss_rng, drop_rng = jax.random.split(rng, 3)
+        prepared = prepare_batch(batch, aug_rng, train=True)
+        x01 = prepared["image"]
+
+        labels = None
+        if self.num_classes:
+            # Classifier-free-guidance dropout: each example's label falls
+            # to the null token with prob cond_drop_prob (arXiv:2207.12598).
+            labels = prepared["label"].astype(jnp.int32)
+            drop = jax.random.bernoulli(
+                drop_rng, self.cond_drop_prob, labels.shape
+            )
+            labels = jnp.where(drop, self.null_labels(labels.shape[0]), labels)
 
         def loss_fn(params):
-            return self.diffusion.p_losses(self._apply_fn(params), x01, loss_rng)
+            return self.diffusion.p_losses(
+                self._apply_fn(params, labels), x01, loss_rng
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params["model"])
         return grads, {"loss": loss}
@@ -206,10 +284,16 @@ class DDPM(GenerativeModel):
         )
 
     def eval_step(self, state: TrainState, batch: Batch, rng: jax.Array) -> Metrics:
-        x01 = prepare_batch(batch, train=False)["image"]
-        # Validate with the EMA model (reference ddpm.py:1014).
+        prepared = prepare_batch(batch, train=False)
+        x01 = prepared["image"]
+        labels = (
+            prepared["label"].astype(jnp.int32) if self.num_classes else None
+        )
+        # Validate with the EMA model (reference ddpm.py:1014); conditional
+        # models validate on the true labels (no CFG dropout).
         loss = self.diffusion.p_losses(
-            self._apply_fn(state.ema_params), x01, jax.random.fold_in(rng, 1)
+            self._apply_fn(state.ema_params, labels), x01,
+            jax.random.fold_in(rng, 1),
         )
         return {"val_loss": loss}
 
@@ -224,19 +308,63 @@ class DDPM(GenerativeModel):
         """EMA-model sampling; default method keeps the reference convention
         (DDIM iff sampling_timesteps < timesteps). method="dpmpp" selects the
         DPM-Solver++(2M) ODE solver (beyond reference; ~2-3x fewer UNet evals
-        at comparable quality), with `steps` overriding the NFE count."""
+        at comparable quality), with `steps` overriding the NFE count.
+
+        Conditional models sample cycling labels 0..num_classes-1 with
+        classifier-free guidance (CGAN's grid convention, cgan.py:213-218)."""
+        if self.num_classes:
+            labels = jnp.arange(num_samples) % self.num_classes
+            return self.sample_classes(
+                state, rng, labels, method=method, steps=steps
+            )
         return self.diffusion.sample(
             self._apply_fn(state.ema_params), num_samples, rng,
             method=method, steps=steps,
         )
 
+    def sample_classes(
+        self,
+        state: TrainState,
+        rng: jax.Array,
+        labels: jax.Array,
+        guidance_scale: Optional[float] = None,
+        method: Optional[str] = None,
+        steps: Optional[int] = None,
+    ) -> jax.Array:
+        """Classifier-free-guided sampling of the given classes (conditional
+        models only). ``guidance_scale`` defaults to the constructor's."""
+        if not self.num_classes:
+            raise ValueError("sample_classes requires DDPM(num_classes=...)")
+        labels = jnp.asarray(labels, jnp.int32)
+        w = self.guidance_scale if guidance_scale is None else guidance_scale
+        apply_fn = self._guided_apply_fn(state.ema_params, labels, w)
+        return self.diffusion.sample(
+            apply_fn, labels.shape[0], rng, method=method, steps=steps
+        )
+
+    def validation_grids(self, state: TrainState, rng: jax.Array):
+        """Per-class grid: row r = 4 guided samples of class r (CGAN's
+        validation convention, cgan.py:227-230), conditional models only."""
+        if not self.num_classes:
+            return {}
+        labels = jnp.repeat(jnp.arange(self.num_classes), 4)
+        return {"per_class_generation": self.sample_classes(state, rng, labels)}
+
     def sample_raw(self, state: TrainState, rng: jax.Array, num_samples: int):
         """Sampling with the raw (non-EMA) weights, for diagnostics."""
+        if self.num_classes:
+            labels = jnp.arange(num_samples) % self.num_classes
+            w = self.guidance_scale
+            apply_fn = self._guided_apply_fn(state.params["model"], labels, w)
+            return self.diffusion.sample(apply_fn, num_samples, rng)
         return self.diffusion.sample(
             self._apply_fn(state.params["model"]), num_samples, rng
         )
 
     def interpolate(self, state, x1_01, x2_01, rng, t=None, lam=0.5):
+        labels = (
+            self.null_labels(x1_01.shape[0]) if self.num_classes else None
+        )
         return self.diffusion.interpolate(
-            self._apply_fn(state.ema_params), x1_01, x2_01, rng, t, lam
+            self._apply_fn(state.ema_params, labels), x1_01, x2_01, rng, t, lam
         )

@@ -131,6 +131,11 @@ class UNet(nn.Module):
     dim_mults: Sequence[int] = (1, 2, 4, 8)
     channels: int = 3
     self_condition: bool = False
+    # Class conditioning (beyond reference, which has unconditional diffusion
+    # only): an Embed(num_classes + 1, time_dim) table added to the time
+    # embedding; index ``num_classes`` is the learned null token used for
+    # classifier-free-guidance dropout and unconditional evals.
+    num_classes: Optional[int] = None
     resnet_block_groups: int = 8
     learned_variance: bool = False
     learned_sinusoidal_cond: bool = False
@@ -153,12 +158,19 @@ class UNet(nn.Module):
             return self.out_dim
         return self.channels * (2 if self.learned_variance else 1)
 
+    @property
+    def null_class(self) -> int:
+        """Label value meaning 'unconditional' when ``num_classes`` is set."""
+        assert self.num_classes is not None
+        return self.num_classes
+
     @nn.compact
     def __call__(
         self,
         x: jax.Array,
         time: jax.Array,
         x_self_cond: Optional[jax.Array] = None,
+        labels: Optional[jax.Array] = None,
     ) -> jax.Array:
         num_stages = len(self.dim_mults)
         full_attn = self.full_attn or ((False,) * (num_stages - 1) + (True,))
@@ -190,6 +202,19 @@ class UNet(nn.Module):
         t = nn.Dense(time_dim)(emb)
         t = nn.gelu(t)
         t = nn.Dense(time_dim)(t)
+
+        if self.num_classes is not None:
+            if labels is None:
+                raise ValueError(
+                    "UNet(num_classes=...) requires labels; pass "
+                    f"jnp.full((B,), {self.null_class}) for unconditional"
+                )
+            # Additive class conditioning through the same FiLM pathway the
+            # time signal uses — zero extra parameters downstream, and the
+            # embedding lookup fuses into the (tiny) time-MLP fusion.
+            t = t + nn.Embed(
+                self.num_classes + 1, time_dim, name="class_emb"
+            )(labels.astype(jnp.int32))
 
         def attn_layer(stage: int, dim: int):
             # residual=True folds the `attn(x) + x` into the attention block
