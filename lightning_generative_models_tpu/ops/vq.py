@@ -112,7 +112,14 @@ def nearest_codes(
         and flat.shape[1] % 8 == 0
         and codebook.shape[0] % 128 == 0
     ):
-        return _nearest_codes_spmd(flat, codebook)
+        # Indices are an argmin: piecewise-constant, zero gradient a.e.
+        # custom_partitioning has NO differentiation rule, so a live tracer
+        # reaching the wrapped call under jax.grad (the codebook is a
+        # trainable param in every VQ model) raises NotImplementedError at
+        # trace time; sever both inputs before the primitive binds.
+        return _nearest_codes_spmd(
+            jax.lax.stop_gradient(flat), jax.lax.stop_gradient(codebook)
+        )
     from lightning_generative_models_tpu.models.modules.vector_quantizer import (
         nearest_code_indices,
     )

@@ -131,6 +131,33 @@ def test_vq_spmd_kernel_sharded(rng):
         vq_ops._INTERPRET = False
 
 
+def test_vq_spmd_kernel_under_grad(rng, monkeypatch):
+    """Regression: a live tracer (the trainable codebook) reaching the
+    custom_partitioning wrapper under jax.grad raised 'Differentiation rule
+    for custom_partitioning not implemented' — every VQ model's train_step
+    crashed on TPU, where the dispatch gate routes N>=1024 lookups to the
+    SPMD kernel. nearest_codes must sever gradients before the primitive
+    binds (the argmin indices carry no gradient anyway)."""
+    from lightning_generative_models_tpu.ops import vq as vq_ops
+
+    monkeypatch.setattr(vq_ops, "_INTERPRET", jax.default_backend() != "tpu")
+    # Force the gate's backend check so CPU CI exercises the TPU-only path.
+    monkeypatch.setattr(vq_ops.jax, "default_backend", lambda: "tpu")
+
+    flat = jax.random.normal(jax.random.fold_in(rng, 1), (1024, 8))
+    cb = jax.random.normal(jax.random.fold_in(rng, 2), (128, 8))
+
+    def loss(codebook):
+        idx = vq_ops.nearest_codes(
+            jax.lax.stop_gradient(flat), codebook, use_pallas=True
+        )
+        return jnp.sum((codebook[idx] - flat) ** 2)
+
+    grads = jax.grad(loss)(cb)  # crashed before the stop_gradient fix
+    assert grads.shape == cb.shape
+    assert bool(jnp.isfinite(grads).all())
+
+
 # -- UNet attention modules: token-major layout vs naive reference ----------
 
 def _naive_linear_attention(x, params, heads=4, dim_head=32):
