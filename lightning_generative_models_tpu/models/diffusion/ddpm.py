@@ -155,6 +155,17 @@ class DDPM(GenerativeModel):
 
         return apply
 
+    # -- diffusion-space hooks (identity in pixel space) ----------------------
+    # LatentDiffusion overrides these two to run the SAME losses, samplers
+    # and EMA machinery in a frozen autoencoder's latent space: _to_ encodes
+    # a [0,1] image batch into the diffusion space, _from_ maps a diffusion-
+    # space sample back to [0,1] images.
+    def _to_diffusion_space(self, state: TrainState, x01: jax.Array) -> jax.Array:
+        return x01
+
+    def _from_diffusion_space(self, state: TrainState, z: jax.Array) -> jax.Array:
+        return z
+
     def null_labels(self, batch: int) -> jax.Array:
         """The learned null (unconditional) token, broadcast to a batch."""
         return jnp.full((batch,), self.unet.null_class, jnp.int32)
@@ -202,7 +213,7 @@ class DDPM(GenerativeModel):
         rng = jax.random.fold_in(rng, state.step)
         aug_rng, loss_rng, drop_rng = jax.random.split(rng, 3)
         prepared = prepare_batch(batch, aug_rng, train=True)
-        x01 = prepared["image"]
+        x01 = self._to_diffusion_space(state, prepared["image"])
 
         labels = None
         if self.num_classes:
@@ -285,7 +296,7 @@ class DDPM(GenerativeModel):
 
     def eval_step(self, state: TrainState, batch: Batch, rng: jax.Array) -> Metrics:
         prepared = prepare_batch(batch, train=False)
-        x01 = prepared["image"]
+        x01 = self._to_diffusion_space(state, prepared["image"])
         labels = (
             prepared["label"].astype(jnp.int32) if self.num_classes else None
         )
@@ -317,10 +328,11 @@ class DDPM(GenerativeModel):
             return self.sample_classes(
                 state, rng, labels, method=method, steps=steps
             )
-        return self.diffusion.sample(
+        z = self.diffusion.sample(
             self._apply_fn(state.ema_params), num_samples, rng,
             method=method, steps=steps,
         )
+        return self._from_diffusion_space(state, z)
 
     def sample_classes(
         self,
@@ -338,9 +350,10 @@ class DDPM(GenerativeModel):
         labels = jnp.asarray(labels, jnp.int32)
         w = self.guidance_scale if guidance_scale is None else guidance_scale
         apply_fn = self._guided_apply_fn(state.ema_params, labels, w)
-        return self.diffusion.sample(
+        z = self.diffusion.sample(
             apply_fn, labels.shape[0], rng, method=method, steps=steps
         )
+        return self._from_diffusion_space(state, z)
 
     def validation_grids(self, state: TrainState, rng: jax.Array):
         """Per-class grid: row r = 4 guided samples of class r (CGAN's
@@ -356,15 +369,24 @@ class DDPM(GenerativeModel):
             labels = jnp.arange(num_samples) % self.num_classes
             w = self.guidance_scale
             apply_fn = self._guided_apply_fn(state.params["model"], labels, w)
-            return self.diffusion.sample(apply_fn, num_samples, rng)
-        return self.diffusion.sample(
-            self._apply_fn(state.params["model"]), num_samples, rng
+            return self._from_diffusion_space(
+                state, self.diffusion.sample(apply_fn, num_samples, rng)
+            )
+        return self._from_diffusion_space(
+            state,
+            self.diffusion.sample(
+                self._apply_fn(state.params["model"]), num_samples, rng
+            ),
         )
 
     def interpolate(self, state, x1_01, x2_01, rng, t=None, lam=0.5):
         labels = (
             self.null_labels(x1_01.shape[0]) if self.num_classes else None
         )
-        return self.diffusion.interpolate(
-            self._apply_fn(state.ema_params, labels), x1_01, x2_01, rng, t, lam
+        z = self.diffusion.interpolate(
+            self._apply_fn(state.ema_params, labels),
+            self._to_diffusion_space(state, x1_01),
+            self._to_diffusion_space(state, x2_01),
+            rng, t, lam,
         )
+        return self._from_diffusion_space(state, z)

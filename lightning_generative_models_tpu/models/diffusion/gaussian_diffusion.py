@@ -95,7 +95,14 @@ class GaussianDiffusion:
         min_snr_loss_weight: bool = False,
         min_snr_gamma: float = 5.0,
         self_condition: bool = False,
+        x_start_clip: Optional[float] = 1.0,
     ):
+        """``x_start_clip`` bounds the denoised x0 estimate to
+        [-clip, clip] wherever the reference clamps to [-1, 1]
+        (ddpm.py:739-741, 806); ``None`` disables clipping entirely —
+        required when the diffusion space is an unbounded latent space
+        (see models/diffusion/latent_diffusion.py) rather than pixel
+        space. The default 1.0 is exact reference behavior."""
         assert objective in ("pred_noise", "pred_x0", "pred_v")
         if beta_schedule not in BETA_SCHEDULES:
             raise ValueError(f"unknown beta schedule {beta_schedule}")
@@ -110,6 +117,7 @@ class GaussianDiffusion:
         self.ddim_sampling_eta = ddim_sampling_eta
         self.offset_noise_strength = offset_noise_strength
         self.auto_normalize = auto_normalize
+        self.x_start_clip = x_start_clip
 
         # float64 schedule math, f32 buffers (reference ddpm.py:596-640).
         betas = BETA_SCHEDULES[beta_schedule](timesteps, **(schedule_fn_kwargs or {}))
@@ -211,7 +219,9 @@ class GaussianDiffusion:
         rederive_pred_noise: bool = False,
     ) -> ModelPrediction:
         model_output = apply_fn(x, t, x_self_cond)
-        clip = (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else (lambda v: v)
+        bound = self.x_start_clip
+        clip_x_start = clip_x_start and bound is not None
+        clip = (lambda v: jnp.clip(v, -bound, bound)) if clip_x_start else (lambda v: v)
 
         if self.objective == "pred_noise":
             pred_noise = model_output
@@ -228,7 +238,9 @@ class GaussianDiffusion:
 
     def p_mean_variance(self, apply_fn, x, t, x_self_cond=None):
         preds = self.model_predictions(apply_fn, x, t, x_self_cond)
-        x_start = jnp.clip(preds.pred_x_start, -1.0, 1.0)
+        x_start = preds.pred_x_start
+        if self.x_start_clip is not None:
+            x_start = jnp.clip(x_start, -self.x_start_clip, self.x_start_clip)
         mean, variance, log_variance = self.q_posterior(x_start, x, t)
         return mean, variance, log_variance, x_start
 

@@ -34,6 +34,11 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "VQGAN": ("lightning_generative_models_tpu.models.vae.vqgan", "VQGAN"),
     # Diffusion family (reference: models/generative/diffusion/ddpm.py)
     "DDPM": ("lightning_generative_models_tpu.models.diffusion.ddpm", "DDPM"),
+    # Beyond reference: DDPM in a frozen VQ autoencoder's latent space.
+    "LatentDiffusion": (
+        "lightning_generative_models_tpu.models.diffusion.latent_diffusion",
+        "LatentDiffusion",
+    ),
     # Autoencoder family (reference: models/generative/autoencoder/)
     "DAE": ("lightning_generative_models_tpu.models.autoencoder.dae", "DAE"),
     "UNet": ("lightning_generative_models_tpu.models.autoencoder.unet", "UNetAE"),
