@@ -53,6 +53,33 @@ def test_roundtrip_matches_live_sample(rng, tmp_path):
     assert (tmp_path / "ddpm.jaxexport.json").exists()
 
 
+def test_latent_diffusion_export_bakes_frozen_ae(rng, tmp_path):
+    """LatentDiffusion's sampler decodes through state.mutable's frozen
+    autoencoder; export must bake that tree in as constants so the artifact
+    serves images (not latents) with no state on the serving side."""
+    model = load_model({"name": "LatentDiffusion", "args": {
+        "img_size": 32, "img_channels": 3,
+        "autoencoder": {"config_path": "configs/vae/vqvae_cifar10.json"},
+        "dim": 8, "dim_mults": [1, 2],
+        "diffusion_timesteps": 8, "sampling_timesteps": 4,
+        "use_bf16": False,
+    }})
+    state = jax.jit(model.init_state)(rng)
+
+    exported = export_sampler(model, state, batch_size=2)
+    save_artifact(exported, tmp_path / "ldm.jaxexport",
+                  meta={"model": "LatentDiffusion", "step": 0})
+    artifact = load_artifact(tmp_path / "ldm.jaxexport")
+
+    key = jax.random.PRNGKey(3)
+    frozen = np.asarray(jax.device_get(artifact(key)))
+    live = np.asarray(jax.device_get(
+        jax.jit(model.sample, static_argnums=2)(state, key, 2)
+    ))
+    assert frozen.shape == (2, 32, 32, 3)  # image space, not 4x4x64 latents
+    np.testing.assert_allclose(frozen, live, rtol=1e-6, atol=1e-6)
+
+
 def test_dpmpp_sampler_bakes_into_artifact(rng, tmp_path):
     model = _tiny_ddpm()
     state = jax.jit(model.init_state)(rng)
