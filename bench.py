@@ -370,6 +370,71 @@ def bench_ddpm_train(steps: int = 30, batch: int = 128, unroll: int = 1):
     return batch / per_step
 
 
+def _gated_train_rate(model, batch_np, steps: int = 30):
+    """Steady-state gated-EMA training rate (img/s) for a DDPM-family model,
+    single-dispatch fori_loop cycles (the bench_ddpm_train protocol)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = jax.random.PRNGKey(0)
+    state = jax.jit(model.init_state)(rng)
+    batch_dev = jax.tree_util.tree_map(jax.device_put, batch_np)
+    every = model.ema_update_every
+    state = state.replace(step=jnp.asarray(1000, jnp.int32))
+    holder = {"state": state}
+
+    def cycle(s):
+        s = jax.lax.fori_loop(
+            0, every - 1,
+            lambda i, st: model.train_step_gated(st, batch_dev, rng, False)[0],
+            s,
+        )
+        return model.train_step_gated(s, batch_dev, rng, True)[0]
+
+    chain_fn = _fori_chain(cycle)
+
+    def chain(cycles):
+        holder["state"] = chain_fn(holder["state"], cycles)
+        int(holder["state"].step)  # D2H readback barrier
+
+    chain(1)  # compile + warmup
+    per_cycle = max(_min_slope(chain, 1, max(steps // every, 2), reps=2), 1e-9)
+    batch = batch_np["image"].shape[0]
+    return batch / (per_cycle / every)
+
+
+def bench_ldm_train(steps: int = 30, batch: int = 128, img: int = 64):
+    """LatentDiffusion vs pixel-space DDPM training at 64x64, interleaved.
+
+    Substantiates the LDM value proposition (models/diffusion/
+    latent_diffusion.py): with an f8 VQ autoencoder every UNet evaluation
+    sees 64x fewer pixels, so at fixed image resolution the latent model
+    trades the full-resolution UNet for a frozen encoder pass plus a tiny
+    latent UNet. Both models run the same gated-EMA fori_loop protocol on
+    identical uint8 batches in ONE process (shared-chip rule); reports
+    (ldm_img_per_sec, pixel_img_per_sec).
+    """
+    from lightning_generative_models_tpu.models.diffusion.ddpm import DDPM
+    from lightning_generative_models_tpu.registry import load_model
+
+    rs = np.random.RandomState(0)
+    batch_np = {
+        "image": rs.randint(0, 256, size=(batch, img, img, 3), dtype=np.uint8),
+        "label": rs.randint(0, 10, size=batch).astype(np.int32),
+    }
+    ldm = load_model({"name": "LatentDiffusion", "args": {
+        "img_size": img, "img_channels": 3,
+        "autoencoder": {"config_path": "configs/vae/vqvae_celeba64.json"},
+        "dim": 64, "dim_mults": [1, 2], "diffusion_timesteps": 1000,
+    }})
+    pixel = DDPM(img_channels=3, img_size=img, dim=64,
+                 diffusion_timesteps=1000)
+    # Interleaved: both rates measured back-to-back in this process.
+    ldm_rate = _gated_train_rate(ldm, batch_np, steps)
+    pixel_rate = _gated_train_rate(pixel, batch_np, steps)
+    return ldm_rate, pixel_rate
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=50)
@@ -429,6 +494,10 @@ def main():
     if args.only == "dpmpp20":
         print(json.dumps({"value": bench_dpmpp20()}))
         return 0
+    if args.only == "ldm64":
+        ldm_rate, pixel_rate = bench_ldm_train()
+        print(json.dumps({"value": ldm_rate, "pixel64": round(pixel_rate, 2)}))
+        return 0
     if args.only:
         raise SystemExit(f"unknown --only mode {args.only}")
 
@@ -479,6 +548,10 @@ def main():
             extra_keys=(("unroll2", "ddpm_train_unroll2_images_per_sec"),),
         )
         timeboxed("dpmpp20_samples_per_sec", "dpmpp20", seconds=540)
+        timeboxed(
+            "ldm64_train_images_per_sec", "ldm64", seconds=540,
+            extra_keys=(("pixel64", "ddpm_pixel64_train_images_per_sec"),),
+        )
         if "ddim50_samples_per_sec" in extras:
             extras["vs_baseline_ddim50"] = round(
                 extras["ddim50_samples_per_sec"] / A100_DDIM50_SAMPLES_PER_SEC, 3
