@@ -76,17 +76,19 @@ def main(argv=None):
     )
     parser.add_argument(
         "--sampler", type=str, default="auto",
-        choices=["auto", "ddpm", "ddim", "dpmpp"],
-        help="diffusion sampler: auto keeps the reference convention (DDIM "
-        "iff sampling_timesteps < T); dpmpp = DPM-Solver++(2M), a "
-        "2nd-order ODE solver reaching DDIM-50-comparable quality at "
-        "~15-25 steps (beyond reference)",
+        choices=["auto", "ddpm", "ddim", "dpmpp", "euler", "midpoint", "heun"],
+        help="sampler: auto keeps each model's convention (diffusion: DDIM "
+        "iff sampling_timesteps < T; flow matching: the configured solver). "
+        "dpmpp = DPM-Solver++(2M), a 2nd-order ODE solver reaching "
+        "DDIM-50-comparable quality at ~15-25 steps (beyond reference); "
+        "euler/midpoint/heun are the FlowMatching ODE solvers — each model "
+        "family rejects the other family's samplers with a clear error",
     )
     parser.add_argument(
         "--sampling_steps", type=int, default=0,
         help="override the sampler's step count (0 = the config's "
-        "sampling_timesteps); honored by --sampler ddim/dpmpp (ancestral "
-        "ddpm always runs the full chain)",
+        "sampling_timesteps); honored by --sampler ddim/dpmpp and the flow "
+        "solvers (ancestral ddpm always runs the full chain)",
     )
     args = parser.parse_args(argv)
 

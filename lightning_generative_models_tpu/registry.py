@@ -39,6 +39,16 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
         "lightning_generative_models_tpu.models.diffusion.latent_diffusion",
         "LatentDiffusion",
     ),
+    # Beyond reference: rectified-flow / flow-matching generative ODE,
+    # pixel-space and in a frozen VQ autoencoder's latent space.
+    "FlowMatching": (
+        "lightning_generative_models_tpu.models.diffusion.flow_matching",
+        "FlowMatching",
+    ),
+    "LatentFlowMatching": (
+        "lightning_generative_models_tpu.models.diffusion.flow_matching",
+        "LatentFlowMatching",
+    ),
     # Autoencoder family (reference: models/generative/autoencoder/)
     "DAE": ("lightning_generative_models_tpu.models.autoencoder.dae", "DAE"),
     "UNet": ("lightning_generative_models_tpu.models.autoencoder.unet", "UNetAE"),

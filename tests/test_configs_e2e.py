@@ -28,6 +28,10 @@ MODEL_OVERRIDES = {
     # path; the frozen-AE code path is identical to a restored one.
     "LatentDiffusion": {"dim": 8, "diffusion_timesteps": 8, "use_bf16": False,
                         "ema_update_after_step": 2, "ema_update_every": 1},
+    "FlowMatching": {"dim": 8, "sampling_steps": 4, "use_bf16": False,
+                     "ema_update_after_step": 2, "ema_update_every": 1},
+    "LatentFlowMatching": {"dim": 8, "sampling_steps": 4, "use_bf16": False,
+                           "ema_update_after_step": 2, "ema_update_every": 1},
     "VQVAE": {"hidden_dim": 32, "num_residual_hiddens": 8, "embedding_dim": 8,
               "num_embeddings": 16},
     "VQGAN": {"hidden_dim": 32, "num_residual_hiddens": 8, "embedding_dim": 8,
