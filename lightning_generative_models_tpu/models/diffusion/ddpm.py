@@ -70,6 +70,11 @@ class DDPM(GenerativeModel):
         num_classes: Optional[int] = None,
         cond_drop_prob: float = 0.1,
         guidance_scale: float = 3.0,
+        network: str = "unet",
+        patch_size: int = 2,
+        depth: int = 12,
+        num_heads: int = 6,
+        mlp_ratio: float = 4.0,
     ):
         """``num_classes`` enables class-conditional training with
         classifier-free guidance (beyond reference — the reference diffusion
@@ -79,6 +84,14 @@ class DDPM(GenerativeModel):
         arXiv:2207.12598), and sampling combines the conditional and
         unconditional predictions as u + w*(c - u) with w =
         ``guidance_scale`` (w=1 → purely conditional, w=0 → unconditional).
+
+        ``network`` selects the denoiser backbone: ``"unet"`` (reference
+        parity) or ``"dit"`` (Diffusion Transformer, arXiv:2212.09748 —
+        beyond reference; see models/diffusion/dit.py). For DiT, ``dim`` is
+        the hidden width and ``patch_size``/``depth``/``num_heads``/
+        ``mlp_ratio`` select the scale; ``dim_mults``/``flash_attn`` keep
+        their meaning where applicable (flash_attn gates the Pallas SDPA
+        kernel in both backbones).
         """
         super().__init__(img_channels, img_size)
         self.ema_update_every = ema_update_every
@@ -88,15 +101,38 @@ class DDPM(GenerativeModel):
         self.cond_drop_prob = cond_drop_prob
         self.guidance_scale = guidance_scale
 
-        self.unet = UNet(
-            dim=dim,
-            dim_mults=tuple(dim_mults),
-            channels=img_channels,
-            self_condition=self_condition,
-            num_classes=num_classes,
-            flash_attn=flash_attn,
-            dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
-        )
+        if network == "dit":
+            if self_condition:
+                raise ValueError(
+                    "network='dit' does not support self_condition"
+                )
+            from lightning_generative_models_tpu.models.diffusion.dit import DiT
+
+            self.unet = DiT(
+                hidden=dim,
+                depth=depth,
+                heads=num_heads,
+                patch_size=patch_size,
+                channels=img_channels,
+                mlp_ratio=mlp_ratio,
+                num_classes=num_classes,
+                flash_attn=flash_attn,
+                dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
+            )
+        elif network == "unet":
+            self.unet = UNet(
+                dim=dim,
+                dim_mults=tuple(dim_mults),
+                channels=img_channels,
+                self_condition=self_condition,
+                num_classes=num_classes,
+                flash_attn=flash_attn,
+                dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
+            )
+        else:
+            raise ValueError(
+                f"unknown network {network!r}; pick 'unet' or 'dit'"
+            )
         if sampling_timesteps is not None:
             sampling_timesteps = min(sampling_timesteps, diffusion_timesteps)
         self.diffusion = GaussianDiffusion(

@@ -1,0 +1,246 @@
+"""DiT — Diffusion Transformer backbone (beyond reference).
+
+The reference's diffusion stack is UNet-only (reference:
+models/generative/diffusion/ddpm.py:93-471). This adds the scalable-
+transformer denoiser of Peebles & Xie 2022 (arXiv:2212.09748): patchify the
+(possibly latent) image into tokens, run a stack of adaLN-Zero transformer
+blocks conditioned on (timestep [+ class]) embeddings, and unpatchify a
+linear head back to image space. DiT is the modern default backbone for
+large-scale diffusion (class-conditional ImageNet, SD3/PixArt-style latent
+models), and it is the TPU-preferred one: the compute is pure dense matmuls
++ softmax attention, which map straight onto the MXU with none of the
+conv/GroupNorm layout structure that caps the UNet's MFU (see
+docs/PERFORMANCE.md — the UNet step's measured floors are conv layouts,
+GN/FiLM bandwidth and Pallas-boundary relayouts, all absent here).
+
+Drop-in contract: the module exposes the UNet's exact call signature
+``(x_nhwc, time, x_self_cond=None, labels=None)`` and ``null_class``
+property, so :class:`~.ddpm.DDPM` (and every subclass — FlowMatching,
+LatentDiffusion, LatentFlowMatching) swaps it in behind the
+``network="dit"`` config switch with all training/EMA/CFG/sampler/serving
+machinery unchanged.
+
+TPU design:
+- patchify/unpatchify are pure reshape+transpose in NHWC (zero-copy in XLA)
+  around a single Dense — no conv stem.
+- fixed 2D sin-cos positional embeddings (the DiT/MAE choice) computed at
+  trace time from the static token grid; nothing learned, nothing stored.
+- adaLN-Zero: per-block Dense(6*hidden) from SiLU(cond), ZERO-initialized so
+  every residual branch starts closed and the network output at init is
+  exactly zero (the paper's critical-for-stability trick; regression-tested).
+- compute in ``dtype`` (bf16 on TPU) with f32 LayerNorm statistics, f32
+  matmul accumulation in attention, f32 conditioning MLPs (tiny), f32 output.
+- attention dispatches to the Pallas flash kernel for long sequences via
+  ops/attention.py; at 256 tokens (32px/p2) the fused-XLA path wins.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightning_generative_models_tpu.models.modules.time_embedding import (
+    SinusoidalPosEmb,
+)
+from lightning_generative_models_tpu.ops.attention import (
+    scaled_dot_product_attention,
+)
+
+
+def posemb_sincos_2d(h: int, w: int, dim: int) -> np.ndarray:
+    """Fixed 2D sin-cos positional table [h*w, dim] (DiT/MAE convention):
+    dim/2 encodes the row index, dim/2 the column, each as sin||cos over
+    log-spaced frequencies. Pure numpy at trace time — a compile-time
+    constant, never a parameter."""
+    if dim % 4:
+        raise ValueError(f"posemb_sincos_2d needs dim % 4 == 0, got {dim}")
+    quarter = dim // 4
+    omega = 1.0 / (10000.0 ** (np.arange(quarter, dtype=np.float64) / quarter))
+    yy, xx = np.mgrid[:h, :w]
+    out = np.concatenate(
+        [
+            np.sin(yy.reshape(-1, 1) * omega),
+            np.cos(yy.reshape(-1, 1) * omega),
+            np.sin(xx.reshape(-1, 1) * omega),
+            np.cos(xx.reshape(-1, 1) * omega),
+        ],
+        axis=1,
+    )
+    return out.astype(np.float32)
+
+
+def modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
+    """adaLN modulation: x * (1 + scale) + shift, broadcast over tokens."""
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+class DiTBlock(nn.Module):
+    """Pre-LN transformer block with adaLN-Zero conditioning
+    (arXiv:2212.09748 fig. 3 left): LayerNorms carry no learned affine;
+    shift/scale/gate for both branches come from a zero-initialized linear
+    of the conditioning vector, so the block is the identity at init."""
+
+    hidden: int
+    heads: int
+    mlp_ratio: float = 4.0
+    flash: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
+        b, n, _ = x.shape
+        head_dim = self.hidden // self.heads
+
+        # Conditioning is per-example and tiny — keep it f32.
+        mod = nn.Dense(
+            6 * self.hidden,
+            kernel_init=nn.initializers.zeros,
+            dtype=jnp.float32,
+            name="adaLN_modulation",
+        )(nn.silu(c))
+        (sh_a, sc_a, gate_a, sh_m, sc_m, gate_m) = jnp.split(mod, 6, axis=-1)
+
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=1e-6, use_bias=False, use_scale=False,
+            dtype=jnp.float32, name=name,
+        )
+
+        # -- attention branch ------------------------------------------------
+        h = modulate(ln("norm1")(x), sh_a, sc_a).astype(self.dtype)
+        qkv = nn.Dense(3 * self.hidden, dtype=self.dtype, name="qkv")(h)
+        qkv = qkv.reshape(b, n, 3, self.heads, head_dim)
+        # [b, heads, n, d] for the shared SDPA dispatcher (flash for long n).
+        q, k, v = (
+            qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)
+        )
+        att = scaled_dot_product_attention(q, k, v, use_pallas=self.flash)
+        att = att.transpose(0, 2, 1, 3).reshape(b, n, self.hidden)
+        att = nn.Dense(self.hidden, dtype=self.dtype, name="proj")(att)
+        x = x + gate_a[:, None, :].astype(x.dtype) * att.astype(x.dtype)
+
+        # -- MLP branch --------------------------------------------------------
+        h = modulate(ln("norm2")(x), sh_m, sc_m).astype(self.dtype)
+        h = nn.Dense(
+            int(self.hidden * self.mlp_ratio), dtype=self.dtype, name="fc1"
+        )(h)
+        h = nn.gelu(h, approximate=True)
+        h = nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(h)
+        return x + gate_m[:, None, :].astype(x.dtype) * h.astype(x.dtype)
+
+
+class DiT(nn.Module):
+    """Diffusion Transformer denoiser, NHWC in/out, UNet-signature-compatible.
+
+    ``hidden``/``depth``/``heads`` select the scale (DiT-S = 384/12/6,
+    DiT-B = 768/12/12, ...); ``patch_size`` the token granularity. Smaller
+    patches = 4x tokens per halving = better quality and more MXU work.
+    """
+
+    hidden: int = 384
+    depth: int = 12
+    heads: int = 6
+    patch_size: int = 2
+    channels: int = 3
+    mlp_ratio: float = 4.0
+    num_classes: Optional[int] = None
+    out_channels: Optional[int] = None
+    flash_attn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def null_class(self) -> int:
+        """Label value meaning 'unconditional' (same contract as UNet)."""
+        assert self.num_classes is not None
+        return self.num_classes
+
+    @property
+    def output_channels(self) -> int:
+        return self.out_channels or self.channels
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        time: jax.Array,
+        x_self_cond: Optional[jax.Array] = None,
+        labels: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        if x_self_cond is not None:
+            raise ValueError(
+                "DiT does not support self-conditioning; configure the DDPM "
+                "with self_condition=False (the default)"
+            )
+        if self.hidden % self.heads:
+            raise ValueError(
+                f"hidden {self.hidden} not divisible by heads {self.heads}"
+            )
+        b, hh, ww, cc = x.shape
+        p = self.patch_size
+        if hh % p or ww % p:
+            raise ValueError(f"image {hh}x{ww} not divisible by patch {p}")
+        gh, gw = hh // p, ww // p
+        n = gh * gw
+
+        # -- patchify: [b,h,w,c] -> [b, n, p*p*c] (reshapes only) -> Dense ----
+        tok = x.astype(self.dtype).reshape(b, gh, p, gw, p, cc)
+        tok = tok.transpose(0, 1, 3, 2, 4, 5).reshape(b, n, p * p * cc)
+        tok = nn.Dense(self.hidden, dtype=self.dtype, name="patch_embed")(tok)
+        pos = jnp.asarray(posemb_sincos_2d(gh, gw, self.hidden))
+        tok = tok + pos[None].astype(tok.dtype)
+
+        # -- conditioning vector: timestep [+ class] --------------------------
+        t = SinusoidalPosEmb(256)(time)
+        t = nn.Dense(self.hidden, dtype=jnp.float32, name="t_fc1")(t)
+        t = nn.silu(t)
+        c = nn.Dense(self.hidden, dtype=jnp.float32, name="t_fc2")(t)
+        if self.num_classes is not None:
+            if labels is None:
+                raise ValueError(
+                    "DiT(num_classes=...) requires labels; pass "
+                    f"jnp.full((B,), {self.null_class}) for unconditional"
+                )
+            c = c + nn.Embed(
+                self.num_classes + 1,
+                self.hidden,
+                embedding_init=nn.initializers.normal(0.02),
+                name="class_emb",
+            )(labels.astype(jnp.int32))
+
+        for i in range(self.depth):
+            tok = DiTBlock(
+                self.hidden, self.heads, self.mlp_ratio,
+                flash=self.flash_attn, dtype=self.dtype, name=f"block_{i}",
+            )(tok, c)
+
+        # -- final layer: adaLN (zero-init) -> zero-init linear head ----------
+        mod = nn.Dense(
+            2 * self.hidden,
+            kernel_init=nn.initializers.zeros,
+            dtype=jnp.float32,
+            name="final_modulation",
+        )(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        tok = modulate(
+            nn.LayerNorm(
+                epsilon=1e-6, use_bias=False, use_scale=False,
+                dtype=jnp.float32, name="final_norm",
+            )(tok),
+            shift,
+            scale,
+        )
+        out = nn.Dense(
+            p * p * self.output_channels,
+            kernel_init=nn.initializers.zeros,
+            dtype=jnp.float32,
+            name="head",
+        )(tok)
+
+        # -- unpatchify: [b, n, p*p*co] -> [b,h,w,co] --------------------------
+        co = self.output_channels
+        out = out.reshape(b, gh, gw, p, p, co)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, co)
+        return out.astype(jnp.float32)

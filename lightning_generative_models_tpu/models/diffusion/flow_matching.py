@@ -243,6 +243,7 @@ class FlowMatching(DDPM):
         num_classes: Optional[int] = None,
         cond_drop_prob: float = 0.1,
         guidance_scale: float = 3.0,
+        **network_kwargs,
     ):
         super().__init__(
             img_channels=img_channels,
@@ -260,6 +261,9 @@ class FlowMatching(DDPM):
             num_classes=num_classes,
             cond_drop_prob=cond_drop_prob,
             guidance_scale=guidance_scale,
+            # Backbone selection (network="unet"|"dit" + DiT scale knobs)
+            # passes straight through to DDPM — the flow is backbone-agnostic.
+            **network_kwargs,
         )
         # Swap the process: the DDPM-built GaussianDiffusion is replaced by
         # the flow; every loss/sampler/EMA path goes through self.diffusion.

@@ -57,6 +57,9 @@ def _shrink(config):
     name = config["model"]["name"]
     args = config["model"]["args"]
     args.update(MODEL_OVERRIDES.get(name, {}))
+    if args.get("network") == "dit":
+        # DiT divisibility: hidden % heads == 0, hidden % 4 == 0 (posemb).
+        args.update({"dim": 32, "depth": 2, "num_heads": 4})
     dset = config["dataset"]
     dset["batch_size"] = 8
     if name in SHRINK_IMG and dset.get("img_size", 0) > 32:
