@@ -403,6 +403,27 @@ def _gated_train_rate(model, batch_np, steps: int = 30):
     return batch / (per_cycle / every)
 
 
+def bench_dit_train(steps: int = 30, batch: int = 128):
+    """DiT-S/2 conditional CIFAR-10-shape training throughput (beyond
+    reference — the transformer denoiser of models/diffusion/dit.py, the
+    shipped configs/diffusion/dit_cifar10.json scale: hidden 384, depth 12,
+    heads 6, patch 2 = 256 tokens at 32px, with CFG label dropout). Same
+    steady-state gated-EMA fori_loop protocol as bench_ddpm_train, so the
+    number is directly comparable to the UNet row on the same chip."""
+    from lightning_generative_models_tpu.models.diffusion.ddpm import DDPM
+
+    rs = np.random.RandomState(0)
+    batch_np = {
+        "image": rs.randint(0, 256, size=(batch, 32, 32, 3), dtype=np.uint8),
+        "label": rs.randint(0, 10, size=batch).astype(np.int32),
+    }
+    model = DDPM(
+        img_channels=3, img_size=32, network="dit", dim=384, depth=12,
+        num_heads=6, patch_size=2, diffusion_timesteps=1000, num_classes=10,
+    )
+    return _gated_train_rate(model, batch_np, steps)
+
+
 def bench_ldm_train(steps: int = 30, batch: int = 128, img: int = 64):
     """LatentDiffusion vs pixel-space DDPM training at 64x64, interleaved.
 
@@ -494,6 +515,9 @@ def main():
     if args.only == "dpmpp20":
         print(json.dumps({"value": bench_dpmpp20()}))
         return 0
+    if args.only == "dit_train":
+        print(json.dumps({"value": bench_dit_train()}))
+        return 0
     if args.only == "ldm64":
         ldm_rate, pixel_rate = bench_ldm_train()
         print(json.dumps({"value": ldm_rate, "pixel64": round(pixel_rate, 2)}))
@@ -548,6 +572,7 @@ def main():
             extra_keys=(("unroll2", "ddpm_train_unroll2_images_per_sec"),),
         )
         timeboxed("dpmpp20_samples_per_sec", "dpmpp20", seconds=540)
+        timeboxed("dit_train_images_per_sec", "dit_train", seconds=540)
         timeboxed(
             "ldm64_train_images_per_sec", "ldm64", seconds=540,
             extra_keys=(("pixel64", "ddpm_pixel64_train_images_per_sec"),),

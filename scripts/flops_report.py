@@ -62,6 +62,21 @@ def main():
           f"({cg['flops']/128/1e9:.3f} GFLOP/img) — the steady-state "
           f"majority step; MFU = this / step_time / 197e12 on v5e")
 
+    dit = DDPM(img_channels=3, img_size=32, network="dit", dim=384, depth=12,
+               num_heads=6, patch_size=2, diffusion_timesteps=1000,
+               num_classes=10, use_bf16=False)
+    dits = jax.jit(dit.init_state)(rng)
+    cdg = (
+        jax.jit(functools.partial(dit.train_step_gated, do_ema=False))
+        .lower(dits, batch, rng).compile().cost_analysis()
+    )
+    n_params = sum(
+        p.size for p in jax.tree_util.tree_leaves(dits.params["model"])
+    )
+    print(f"DiT-S/2 ({n_params/1e6:.1f}M params) gated (no-EMA) step bs128: "
+          f"{cdg['flops']/1e12:.4f} TFLOP "
+          f"({cdg['flops']/128/1e9:.3f} GFLOP/img)")
+
 
 if __name__ == "__main__":
     main()
