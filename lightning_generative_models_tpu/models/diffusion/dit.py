@@ -30,8 +30,11 @@ TPU design:
   exactly zero (the paper's critical-for-stability trick; regression-tested).
 - compute in ``dtype`` (bf16 on TPU) with f32 LayerNorm statistics, f32
   matmul accumulation in attention, f32 conditioning MLPs (tiny), f32 output.
-- attention dispatches to the Pallas flash kernel for long sequences via
-  ops/attention.py; at 256 tokens (32px/p2) the fused-XLA path wins.
+- attention by default runs as einsums contracted directly in [b,n,heads,d]
+  (no head transpose, and deliberately NOT the shape XLA:TPU's auto
+  flash-attention rewrite pattern-matches — both measured pessimizations at
+  these sequence lengths, see DiTBlock); ``flash_attn=True`` opts into the
+  Pallas flash kernel via ops/attention.py for long-sequence configs.
 """
 
 from __future__ import annotations
@@ -113,12 +116,26 @@ class DiTBlock(nn.Module):
         h = modulate(ln("norm1")(x), sh_a, sc_a).astype(self.dtype)
         qkv = nn.Dense(3 * self.hidden, dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(b, n, 3, self.heads, head_dim)
-        # [b, heads, n, d] for the shared SDPA dispatcher (flash for long n).
-        q, k, v = (
-            qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)
-        )
-        att = scaled_dot_product_attention(q, k, v, use_pallas=self.flash)
-        att = att.transpose(0, 2, 1, 3).reshape(b, n, self.hidden)
+        if self.flash:
+            # [b, heads, n, d] for the SDPA dispatcher (Pallas for long n).
+            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            att = scaled_dot_product_attention(q, k, v, use_pallas=True)
+            att = att.transpose(0, 2, 1, 3).reshape(b, n, self.hidden)
+        else:
+            # Head-dim kept minor throughout: einsum contracts directly in
+            # [b, n, heads, d], so XLA never materializes a head transpose
+            # (measured: 12 full-tensor qkv relayout copies, ~4.3 ms/step at
+            # DiT-S/2 bs128) — and the formulation no longer pattern-matches
+            # XLA:TPU's auto flash-attention rewrite, whose fused kernel runs
+            # ~20 TFLOP/s at n=256 and is a net -23% on the train step
+            # (scripts/dit_attack.py: base 1705 vs bnhd 2110 img/s; forcing
+            # xla_tpu_enable_flash_attention=false on the old layout gives
+            # the same 2106, confirming the rewrite is the cost).
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            scale = head_dim**-0.5
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            w = jax.nn.softmax(logits, axis=-1)
+            att = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, n, self.hidden)
         att = nn.Dense(self.hidden, dtype=self.dtype, name="proj")(att)
         x = x + gate_a[:, None, :].astype(x.dtype) * att.astype(x.dtype)
 

@@ -81,7 +81,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_seq: int, kv_valid: int,
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_attention(
+def _flash_attention_impl(
     q: jax.Array, k: jax.Array, v: jax.Array,
     block_q: int = 256, block_k: int = 512,
 ) -> jax.Array:
@@ -125,6 +125,35 @@ def _flash_attention(
 
     out = out.reshape(b, h, -1, d)
     return out[:, :, :n_q, :]
+
+
+@jax.custom_vjp
+def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Pallas flash forward with a defined reverse-mode derivative.
+
+    ``pallas_call`` does not support reverse-mode autodiff, so without this
+    wrapper any model training through the flash path dies in linearization
+    (found live: DiT(flash_attn=True).train_step). The backward pass
+    recomputes the attention weights with the plain XLA math and
+    differentiates that — the O(n^2) logits exist only inside the backward
+    computation (never saved as residuals), so the forward keeps flash's
+    O(n) memory and the backward matches what XLA's own fused softmax
+    backward would do numerically.
+    """
+    return _flash_attention_impl(q, k, v)
+
+
+def _flash_attention_fwd(q, k, v):
+    return _flash_attention_impl(q, k, v), (q, k, v)
+
+
+def _flash_attention_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_xla_attention, q, k, v)
+    return vjp(g)
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
 def scaled_dot_product_attention(

@@ -18,9 +18,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 from lightning_generative_models_tpu.models.diffusion.ddpm import DDPM
 
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
-out = args[0] if args else "experiments/DDPM/profile_r3"
-model = DDPM(img_channels=3, img_size=32, dim=64, diffusion_timesteps=1000,
-             sampling_timesteps=50, use_bf16=True)
+if "--dit" in sys.argv:
+    # DiT-S/2 conditional (the bench_dit_train model) instead of the UNet.
+    out = args[0] if args else "experiments/DiT/profile_r3"
+    model = DDPM(img_channels=3, img_size=32, network="dit", dim=384,
+                 depth=12, num_heads=6, patch_size=2,
+                 diffusion_timesteps=1000, num_classes=10, use_bf16=True)
+else:
+    out = args[0] if args else "experiments/DDPM/profile_r3"
+    model = DDPM(img_channels=3, img_size=32, dim=64, diffusion_timesteps=1000,
+                 sampling_timesteps=50, use_bf16=True)
 rng = jax.random.PRNGKey(0)
 state = jax.jit(model.init_state)(rng)
 rs = np.random.RandomState(0)

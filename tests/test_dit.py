@@ -165,6 +165,35 @@ def test_flow_matching_with_dit_backbone(rng):
         assert out.shape == (2, 8, 8, 1)
 
 
+def test_bnhd_einsum_matches_sdpa_formulation(rng):
+    """The default DiTBlock computes attention as einsums contracted
+    directly in [b,n,heads,d] (no head transpose — measured 12 relayout
+    copies + XLA's slow auto-flash rewrite on the transposed layout, see
+    scripts/dit_attack.py). Pin that the formulation is the same math as
+    the canonical [b,h,n,d] SDPA."""
+    from lightning_generative_models_tpu.ops.attention import (
+        scaled_dot_product_attention,
+    )
+
+    b, n, h, d = 2, 12, 4, 8
+    mk = lambda i: jax.random.normal(  # noqa: E731
+        jax.random.fold_in(rng, i), (b, n, h, d), jnp.float32
+    )
+    q, k, v = mk(1), mk(2), mk(3)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * d**-0.5, k)
+    w = jax.nn.softmax(logits, axis=-1)
+    bnhd = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+    ref = scaled_dot_product_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(
+        np.asarray(bnhd), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_flash_flag_runs(rng):
     """flash_attn=True dispatches through the shared SDPA entry (Pallas on
     TPU at long n, fused XLA otherwise) — must be numerically fine either way."""

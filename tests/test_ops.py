@@ -33,6 +33,34 @@ def test_flash_attention_matches_xla(rng, n, d):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
 
 
+def test_flash_attention_grad_matches_xla(rng):
+    """pallas_call has no reverse-mode rule, so _flash_attention carries a
+    custom VJP (backward = differentiate the XLA math). Found live: a DiT
+    with flash_attn=True at >=256 tokens died in linearization inside
+    train_step before this existed. Gradients must match plain attention."""
+    q, k, v = qkv(rng, 256, 32)
+
+    def loss(fn, q, k, v):
+        out = fn(q, k, v)
+        return jnp.sum(out * jnp.cos(out))  # non-trivial cotangent
+
+    ref_grads = jax.grad(lambda *a: loss(A._xla_attention, *a), (0, 1, 2))(
+        q, k, v
+    )
+    old = A._INTERPRET
+    A._INTERPRET = jax.default_backend() != "tpu"
+    try:
+        flash_grads = jax.grad(
+            lambda *a: loss(A._flash_attention, *a), (0, 1, 2)
+        )(q, k, v)
+    finally:
+        A._INTERPRET = old
+    for g_ref, g_flash in zip(ref_grads, flash_grads):
+        np.testing.assert_allclose(
+            np.asarray(g_flash), np.asarray(g_ref), atol=2e-2, rtol=2e-2
+        )
+
+
 def test_sdpa_dispatch_short_seq_uses_xla(rng):
     # Short sequences must not hit the Pallas path even when requested.
     q, k, v = qkv(rng, 64, 32)
