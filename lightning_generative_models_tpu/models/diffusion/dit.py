@@ -30,11 +30,13 @@ TPU design:
   exactly zero (the paper's critical-for-stability trick; regression-tested).
 - compute in ``dtype`` (bf16 on TPU) with f32 LayerNorm statistics, f32
   matmul accumulation in attention, f32 conditioning MLPs (tiny), f32 output.
-- attention by default runs as einsums contracted directly in [b,n,heads,d]
-  (no head transpose, and deliberately NOT the shape XLA:TPU's auto
-  flash-attention rewrite pattern-matches — both measured pessimizations at
-  these sequence lengths, see DiTBlock); ``flash_attn=True`` opts into the
-  Pallas flash kernel via ops/attention.py for long-sequence configs.
+- attention by default goes through ``ops.attention.fused_attention_qkv``
+  on the packed head-minor Dense output: on TPU a fully-VMEM Pallas kernel
+  (all heads + n^2 scores resident in VMEM, real Pallas backward — zero n^2
+  HBM traffic, no head transposes, and deliberately NOT the shape XLA:TPU's
+  slow auto flash-attention rewrite pattern-matches), elsewhere equivalent
+  head-minor einsums; ``flash_attn=True`` opts into the streaming-KV Pallas
+  flash kernel via ops/attention.py for long-sequence configs.
 """
 
 from __future__ import annotations
@@ -50,6 +52,7 @@ from lightning_generative_models_tpu.models.modules.time_embedding import (
     SinusoidalPosEmb,
 )
 from lightning_generative_models_tpu.ops.attention import (
+    fused_attention_qkv,
     scaled_dot_product_attention,
 )
 
@@ -115,27 +118,24 @@ class DiTBlock(nn.Module):
         # -- attention branch ------------------------------------------------
         h = modulate(ln("norm1")(x), sh_a, sc_a).astype(self.dtype)
         qkv = nn.Dense(3 * self.hidden, dtype=self.dtype, name="qkv")(h)
-        qkv = qkv.reshape(b, n, 3, self.heads, head_dim)
         if self.flash:
             # [b, heads, n, d] for the SDPA dispatcher (Pallas for long n).
-            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            qkv5 = qkv.reshape(b, n, 3, self.heads, head_dim)
+            q, k, v = (qkv5[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
             att = scaled_dot_product_attention(q, k, v, use_pallas=True)
             att = att.transpose(0, 2, 1, 3).reshape(b, n, self.hidden)
         else:
-            # Head-dim kept minor throughout: einsum contracts directly in
-            # [b, n, heads, d], so XLA never materializes a head transpose
-            # (measured: 12 full-tensor qkv relayout copies, ~4.3 ms/step at
-            # DiT-S/2 bs128) — and the formulation no longer pattern-matches
-            # XLA:TPU's auto flash-attention rewrite, whose fused kernel runs
-            # ~20 TFLOP/s at n=256 and is a net -23% on the train step
-            # (scripts/dit_attack.py: base 1705 vs bnhd 2110 img/s; forcing
-            # xla_tpu_enable_flash_attention=false on the old layout gives
-            # the same 2106, confirming the rewrite is the cost).
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            scale = head_dim**-0.5
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-            w = jax.nn.softmax(logits, axis=-1)
-            att = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, n, self.hidden)
+            # Head-dim kept minor throughout: the packed Dense output goes
+            # straight into fused_attention_qkv, which on TPU runs the
+            # fully-VMEM Pallas kernel (all heads + the n^2 scores resident
+            # in VMEM, real Pallas backward — zero n^2 HBM traffic) and
+            # elsewhere the same math as head-minor einsums. Measured at
+            # DiT-S/2 bs128 (scripts/dit_attack.py): the einsum formulation
+            # already beat the transposed SDPA 2110 vs 1705 img/s (XLA's
+            # auto flash-attention rewrite + 12 qkv relayout copies); the
+            # VMEM kernel then halves the per-block attention cost again
+            # (1.32 vs 2.29 ms/block fwd+bwd, slope protocol).
+            att = fused_attention_qkv(qkv, self.heads)
         att = nn.Dense(self.hidden, dtype=self.dtype, name="proj")(att)
         x = x + gate_a[:, None, :].astype(x.dtype) * att.astype(x.dtype)
 

@@ -164,3 +164,255 @@ def scaled_dot_product_attention(
     if use_pallas and _on_tpu() and n_kv >= 256 and q.shape[-1] % 8 == 0:
         return _flash_attention(q, k, v)
     return _xla_attention(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused VMEM attention on packed head-minor qkv (moderate n)
+# ---------------------------------------------------------------------------
+#
+# For transformer backbones at moderate sequence length (DiT at 32px/p2 has
+# n=256 tokens), the whole per-batch attention — all heads, including the
+# [n, n] score matrix — fits in VMEM. XLA's lowering instead materializes the
+# [b, h, n, n] probability tensor in HBM every block (~100 MB at DiT-S/2
+# bs128), saves it as a backward residual, reads it back sliced for the
+# p@v matmul, and writes its gradient in the backward: measured ~3.2 ms/step
+# of softmax-backward fusions + ~2 ms/step of async batch-slice DMAs at
+# DiT-S/2 bs128 (experiments/DiT/profile_r3b). These kernels keep ALL n^2
+# intermediates in VMEM, forward and backward; HBM traffic is exactly the
+# packed qkv in and out gradients.
+#
+# Layout contract: qkv is the raw Dense(3*h*d) output [b, n, 3*h*d] in its
+# natural row-major layout — head-minor, never transposed (the head
+# transpose itself measured ~4.3 ms/step of relayout copies, see DiTBlock).
+# The backward is a real Pallas kernel (recompute-in-VMEM), not a fallback
+# to the XLA math.
+
+
+def _vmem_attn_fwd_kernel(qkv_ref, o_ref, *, heads: int, scale: float):
+    """One batch element: all heads' softmax attention entirely in VMEM."""
+    x = qkv_ref[0]  # [n, 3*h*d]
+    hd = x.shape[-1] // 3
+    d = hd // heads
+    for hh in range(heads):
+        q = x[:, hh * d:(hh + 1) * d].astype(jnp.float32)
+        k = x[:, hd + hh * d:hd + (hh + 1) * d].astype(jnp.float32)
+        v = x[:, 2 * hd + hh * d:2 * hd + (hh + 1) * d].astype(jnp.float32)
+        s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, :, hh * d:(hh + 1) * d] = o.astype(o_ref.dtype)
+
+
+def _vmem_attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int,
+                          scale: float):
+    """Backward by in-VMEM recompute: softmax-attention VJP per head.
+
+    dV = P^T g;  dP = g V^T;  dS = P * (dP - rowsum(P * dP));
+    dQ = dS K * scale;  dK = dS^T Q * scale.
+    """
+    x = qkv_ref[0]  # [n, 3*h*d]
+    g = g_ref[0]  # [n, h*d]
+    hd = x.shape[-1] // 3
+    d = hd // heads
+    for hh in range(heads):
+        q = x[:, hh * d:(hh + 1) * d].astype(jnp.float32)
+        k = x[:, hd + hh * d:hd + (hh + 1) * d].astype(jnp.float32)
+        v = x[:, 2 * hd + hh * d:2 * hd + (hh + 1) * d].astype(jnp.float32)
+        gh = g[:, hh * d:(hh + 1) * d].astype(jnp.float32)
+        s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        dv = jnp.dot(p.T, gh, preferred_element_type=jnp.float32)
+        dp = jnp.dot(gh, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+        dqkv_ref[0, :, hh * d:(hh + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, hd + hh * d:hd + (hh + 1) * d] = dk.astype(
+            dqkv_ref.dtype
+        )
+        dqkv_ref[0, :, 2 * hd + hh * d:2 * hd + (hh + 1) * d] = dv.astype(
+            dqkv_ref.dtype
+        )
+
+
+def _vmem_attn_specs(b: int, n: int, width: int):
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    return pl.BlockSpec((1, n, width), lambda i: (i, 0, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("heads",))
+def _vmem_attention_fwd_impl(qkv: jax.Array, heads: int) -> jax.Array:
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    b, n, w3 = qkv.shape
+    hd = w3 // 3
+    scale = (hd // heads) ** -0.5
+    return pl.pallas_call(
+        functools.partial(_vmem_attn_fwd_kernel, heads=heads, scale=scale),
+        grid=(b,),
+        in_specs=[_vmem_attn_specs(b, n, w3)],
+        out_specs=_vmem_attn_specs(b, n, hd),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+        interpret=_INTERPRET,
+    )(qkv)
+
+
+@functools.partial(jax.jit, static_argnames=("heads",))
+def _vmem_attention_bwd_impl(
+    qkv: jax.Array, g: jax.Array, heads: int
+) -> jax.Array:
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    b, n, w3 = qkv.shape
+    hd = w3 // 3
+    scale = (hd // heads) ** -0.5
+    return pl.pallas_call(
+        functools.partial(_vmem_attn_bwd_kernel, heads=heads, scale=scale),
+        grid=(b,),
+        in_specs=[_vmem_attn_specs(b, n, w3), _vmem_attn_specs(b, n, hd)],
+        out_specs=_vmem_attn_specs(b, n, w3),
+        out_shape=jax.ShapeDtypeStruct((b, n, w3), qkv.dtype),
+        interpret=_INTERPRET,
+    )(qkv, g)
+
+
+# Under pjit over a device mesh, GSPMD treats the pallas_call custom call as
+# opaque and would all-gather the batch; custom_partitioning declares both
+# kernels batch-dim partitionable so each chip runs them on its local shard
+# (same treatment as ops/linear_attention.py).
+
+from jax.experimental.custom_partitioning import (  # noqa: E402
+    custom_partitioning,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from lightning_generative_models_tpu.ops.common import (  # noqa: E402
+    batch_axes as _batch_axes,
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _vmem_spmd_forward(heads: int):
+    @custom_partitioning
+    def fwd(qkv):
+        return _vmem_attention_fwd_impl(qkv, heads)
+
+    def infer(mesh, arg_infos, result_infos):
+        return NamedSharding(mesh, P(_batch_axes(arg_infos[0]), None, None))
+
+    def partition(mesh, arg_infos, result_infos):
+        batch = _batch_axes(arg_infos[0])
+        sh = NamedSharding(mesh, P(batch, None, None))
+
+        def impl(qkv):
+            return _vmem_attention_fwd_impl(qkv, heads)
+
+        return mesh, impl, sh, (sh,)
+
+    fwd.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b n c -> b n o",
+    )
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _vmem_spmd_backward(heads: int):
+    @custom_partitioning
+    def bwd(qkv, g):
+        return _vmem_attention_bwd_impl(qkv, g, heads)
+
+    def infer(mesh, arg_infos, result_infos):
+        return NamedSharding(mesh, P(_batch_axes(arg_infos[0]), None, None))
+
+    def partition(mesh, arg_infos, result_infos):
+        batch = _batch_axes(arg_infos[0])
+        sh = NamedSharding(mesh, P(batch, None, None))
+
+        def impl(qkv, g):
+            return _vmem_attention_bwd_impl(qkv, g, heads)
+
+        return mesh, impl, sh, (sh, sh)
+
+    bwd.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b n c, b n o -> b n c",
+    )
+    return bwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _vmem_attention(qkv: jax.Array, heads: int) -> jax.Array:
+    return _vmem_spmd_forward(heads)(qkv)
+
+
+def _vmem_attention_fwd(qkv, heads):
+    return _vmem_spmd_forward(heads)(qkv), qkv
+
+
+def _vmem_attention_bwd(heads, qkv, g):
+    return (_vmem_spmd_backward(heads)(qkv, g),)
+
+
+_vmem_attention.defvjp(_vmem_attention_fwd, _vmem_attention_bwd)
+
+
+def _vmem_attention_fits(n: int, width3: int, heads: int) -> bool:
+    """Conservative VMEM bound for one grid program (fwd or bwd).
+
+    Resident per program: the packed qkv block (+ its gradient in the bwd),
+    the g/out block, f32 per-head q/k/v/g/dq/dk/dv tiles, and two [n, n] f32
+    score/probability matrices. Bound the sum at 12 MB — inside the ~16 MB
+    scoped-VMEM limit observed for the linear-attention kernels, with slack
+    for Mosaic spills.
+    """
+    hd = width3 // 3
+    d = hd // heads
+    blocks = 2 * width3 * n * 2 + 2 * hd * n * 2  # qkv+dqkv, g+out (bf16)
+    head_f32 = 7 * n * d * 4
+    scores = 2 * n * n * 4
+    return blocks + head_f32 + scores < 12 * 1024 * 1024
+
+
+def fused_attention_qkv(qkv: jax.Array, heads: int) -> jax.Array:
+    """Multi-head softmax attention on packed head-minor qkv.
+
+    ``qkv``: [b, n, 3*heads*d] — the raw Dense(3*h*d) output, laid out as
+    the [b, n, 3, heads, d] reshape would be (q block, then k, then v, each
+    head-major within its block). Returns [b, n, heads*d].
+
+    Dispatches to the fully-fused VMEM Pallas kernel (zero n^2 HBM traffic,
+    real Pallas backward) when on TPU and the per-batch working set fits
+    VMEM; otherwise falls back to the plain einsum formulation (identical
+    math — equivalence-tested).
+    """
+    b, n, w3 = qkv.shape
+    if w3 % (3 * heads):
+        raise ValueError(f"qkv width {w3} is not 3*heads*d for heads={heads}")
+    if (
+        _on_tpu()
+        and n % 8 == 0
+        and (w3 // (3 * heads)) % 8 == 0
+        and _vmem_attention_fits(n, w3, heads)
+    ):
+        return _vmem_attention(qkv, heads)
+    return _einsum_attention_qkv(qkv, heads)
+
+
+def _einsum_attention_qkv(qkv: jax.Array, heads: int) -> jax.Array:
+    """Reference math for ``fused_attention_qkv`` (and the off-TPU path):
+    einsums contracted directly in [b, n, heads, d] — no head transpose."""
+    b, n, w3 = qkv.shape
+    d = w3 // (3 * heads)
+    x = qkv.reshape(b, n, 3, heads, d)
+    q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * d**-0.5, k)
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, n, heads * d)

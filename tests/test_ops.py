@@ -61,6 +61,66 @@ def test_flash_attention_grad_matches_xla(rng):
         )
 
 
+@pytest.mark.parametrize("n,h,d", [(64, 2, 16), (256, 6, 64), (72, 3, 8)])
+def test_vmem_attention_matches_einsum(rng, n, h, d):
+    """Fully-fused VMEM kernel (packed head-minor qkv, grid over batch) vs
+    the einsum reference math — interpret mode on CPU, Mosaic on TPU."""
+    qkv_packed = jax.random.normal(rng, (2, n, 3 * h * d), jnp.float32)
+    ref = A._einsum_attention_qkv(qkv_packed, h)
+    old = A._INTERPRET
+    A._INTERPRET = jax.default_backend() != "tpu"
+    try:
+        out = A._vmem_attention(qkv_packed, h)
+    finally:
+        A._INTERPRET = old
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_vmem_attention_grad_matches_einsum(rng):
+    """The VMEM kernel's backward is a real Pallas kernel (in-VMEM softmax
+    recompute + the attention VJP identities) — its gradient must match
+    differentiating the einsum math."""
+    h = 4
+    qkv_packed = jax.random.normal(rng, (2, 64, 3 * h * 16), jnp.float32)
+
+    def loss(fn, x):
+        out = fn(x, h)
+        return jnp.sum(out * jnp.cos(out))  # non-trivial cotangent
+
+    g_ref = jax.grad(lambda x: loss(A._einsum_attention_qkv, x))(qkv_packed)
+    old = A._INTERPRET
+    A._INTERPRET = jax.default_backend() != "tpu"
+    try:
+        g_vmem = jax.grad(lambda x: loss(A._vmem_attention, x))(qkv_packed)
+    finally:
+        A._INTERPRET = old
+    np.testing.assert_allclose(
+        np.asarray(g_vmem), np.asarray(g_ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_fused_attention_qkv_dispatch_and_validation(rng):
+    # Off-TPU (or unfit shapes) must take the einsum path and still be right.
+    h = 2
+    x = jax.random.normal(rng, (2, 20, 3 * h * 16), jnp.float32)  # n%8 != 0
+    np.testing.assert_allclose(
+        np.asarray(A.fused_attention_qkv(x, h)),
+        np.asarray(A._einsum_attention_qkv(x, h)),
+        rtol=1e-6, atol=1e-6,
+    )
+    with pytest.raises(ValueError, match="not 3\\*heads\\*d"):
+        A.fused_attention_qkv(x[..., :-1], h)
+
+
+def test_vmem_attention_fits_bounds():
+    # DiT-S/2 (n=256, 3*h*d=1152) fits; a 4096-token giant must not (its
+    # n^2 f32 score matrix alone is 64 MB > VMEM).
+    assert A._vmem_attention_fits(256, 1152, 6)
+    assert not A._vmem_attention_fits(4096, 1152, 6)
+
+
 def test_sdpa_dispatch_short_seq_uses_xla(rng):
     # Short sequences must not hit the Pallas path even when requested.
     q, k, v = qkv(rng, 64, 32)
