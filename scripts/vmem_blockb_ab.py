@@ -1,13 +1,13 @@
-"""Interleaved A/B: fused VMEM attention with block_b=1 (r3 session-12 ship)
-vs adaptive block_b (candidate). DiT-S/2 block shape: b=128, n=256, h=6, d=64.
+"""Fused VMEM attention op bench at the DiT-S/2 block shape
+(b=128, n=256, h=6, d=64): Pallas kernel vs the einsum reference,
+fwd+bwd, interleaved min-over-reps (shared-chip protocol).
 
-Protocol: per-variant jitted fwd+bwd closure, interleaved reps, min over reps
-of the mean segment time (shared-chip rule: interleave, take minima).
+History: also used for the block_b batching A/B (negative, ROUND3.md
+session 13) and the bf16-MXU-operand A/B (session 14).
 """
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time
@@ -21,11 +21,11 @@ import numpy as np
 import lightning_generative_models_tpu.ops.attention as A
 
 
-def make_fn(heads):
+def make_fn(impl, heads):
     @jax.jit
     def fwd_bwd(qkv, g):
         def loss(q):
-            return jnp.sum(A.fused_attention_qkv(q, heads) * g)
+            return jnp.sum(impl(q, heads) * g)
 
         return jax.grad(loss)(qkv)
 
@@ -50,37 +50,34 @@ def main():
     qkv = jax.random.normal(rng, (b, n, 3 * hd), jnp.bfloat16)
     g = jax.random.normal(jax.random.fold_in(rng, 1), (b, n, hd), jnp.bfloat16)
 
-    orig = A._vmem_block_b
-    picked = orig(b, n, 3 * hd, heads)
-    print(f"adaptive block_b picks: {picked}", flush=True)
-
-    variants = {}
-    for bb in sorted({1, 2, picked}):
-        A._vmem_block_b = lambda *a, _bb=bb: _bb
-        # fresh jit cache per variant (different kernel constants)
-        fn = make_fn(heads)
-        # correctness guard vs XLA reference
-        ref = jax.grad(
+    # f32 einsum reference for the error column
+    ref = jax.jit(
+        jax.grad(
             lambda q: jnp.sum(
-                A._einsum_attention_qkv(q.astype(jnp.float32), heads) * g
+                A._einsum_attention_qkv(q.astype(jnp.float32), heads)
+                * g.astype(jnp.float32)
             )
-        )(qkv.astype(jnp.float32))
-        got = fn(qkv, g)
-        err = float(
-            jnp.max(jnp.abs(got.astype(jnp.float32) - ref))
-            / (jnp.max(jnp.abs(ref)) + 1e-9)
         )
-        variants[bb] = (fn, err)
-    A._vmem_block_b = orig
+    )(qkv.astype(jnp.float32))
+    refmax = float(jnp.max(jnp.abs(ref)))
 
-    reps = {bb: [] for bb in variants}
-    for rep in range(5):
-        for bb, (fn, _) in variants.items():
-            reps[bb].append(timeit(fn, qkv, g))
-    for bb, (fn, err) in variants.items():
-        t = min(reps[bb])
+    variants = {
+        "pallas": make_fn(A.fused_attention_qkv, heads),
+        "einsum": make_fn(A._einsum_attention_qkv, heads),
+    }
+    errs = {}
+    for name, fn in variants.items():
+        got = fn(qkv, g).astype(jnp.float32)
+        errs[name] = float(jnp.max(jnp.abs(got - ref))) / (refmax + 1e-9)
+
+    reps = {name: [] for name in variants}
+    for _ in range(5):
+        for name, fn in variants.items():
+            reps[name].append(timeit(fn, qkv, g))
+    for name in variants:
+        t = min(reps[name])
         print(
-            f"block_b={bb}:  {t * 1e3:7.3f} ms/fwd+bwd   rel_err={err:.2e}",
+            f"{name}:  {t * 1e3:7.3f} ms/fwd+bwd   rel_err={errs[name]:.2e}",
             flush=True,
         )
 
