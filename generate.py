@@ -81,8 +81,9 @@ def main(argv=None):
         "iff sampling_timesteps < T; flow matching: the configured solver). "
         "dpmpp = DPM-Solver++(2M), a 2nd-order ODE solver reaching "
         "DDIM-50-comparable quality at ~15-25 steps (beyond reference); "
-        "euler/midpoint/heun are the FlowMatching ODE solvers — each model "
-        "family rejects the other family's samplers with a clear error",
+        "euler/midpoint/heun are the FlowMatching ODE solvers and euler/heun "
+        "the EDM ones — each model family rejects the other family's "
+        "samplers with a clear error",
     )
     parser.add_argument(
         "--sampling_steps", type=int, default=0,

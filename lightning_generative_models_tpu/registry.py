@@ -49,6 +49,14 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
         "lightning_generative_models_tpu.models.diffusion.flow_matching",
         "LatentFlowMatching",
     ),
+    # Beyond reference: the Karras et al. 2022 (arXiv:2206.00364) EDM
+    # formulation — preconditioned denoiser, log-normal sigma training,
+    # rho-grid Heun sampler with optional stochastic churn.
+    "EDM": ("lightning_generative_models_tpu.models.diffusion.edm", "EDM"),
+    "LatentEDM": (
+        "lightning_generative_models_tpu.models.diffusion.edm",
+        "LatentEDM",
+    ),
     # Autoencoder family (reference: models/generative/autoencoder/)
     "DAE": ("lightning_generative_models_tpu.models.autoencoder.dae", "DAE"),
     "UNet": ("lightning_generative_models_tpu.models.autoencoder.unet", "UNetAE"),
