@@ -75,6 +75,7 @@ class DDPM(GenerativeModel):
         depth: int = 12,
         num_heads: int = 6,
         mlp_ratio: float = 4.0,
+        qkv_layout: str = "s3hd",
     ):
         """``num_classes`` enables class-conditional training with
         classifier-free guidance (beyond reference — the reference diffusion
@@ -118,8 +119,14 @@ class DDPM(GenerativeModel):
                 num_classes=num_classes,
                 flash_attn=flash_attn,
                 dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
+                qkv_layout=qkv_layout,
             )
         elif network == "unet":
+            if qkv_layout != "s3hd":
+                raise ValueError(
+                    "qkv_layout applies to the DiT backbone only (the UNet "
+                    "does not use packed-qkv attention)"
+                )
             self.unet = UNet(
                 dim=dim,
                 dim_mults=tuple(dim_mults),

@@ -95,6 +95,7 @@ class DiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     flash: bool = False
     dtype: jnp.dtype = jnp.float32
+    qkv_layout: str = "s3hd"
 
     @nn.compact
     def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
@@ -120,8 +121,16 @@ class DiTBlock(nn.Module):
         qkv = nn.Dense(3 * self.hidden, dtype=self.dtype, name="qkv")(h)
         if self.flash:
             # [b, heads, n, d] for the SDPA dispatcher (Pallas for long n).
-            qkv5 = qkv.reshape(b, n, 3, self.heads, head_dim)
-            q, k, v = (qkv5[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            if self.qkv_layout == "h3d":
+                qkv5 = qkv.reshape(b, n, self.heads, 3, head_dim)
+                q, k, v = (
+                    qkv5[..., i, :].transpose(0, 2, 1, 3) for i in range(3)
+                )
+            else:
+                qkv5 = qkv.reshape(b, n, 3, self.heads, head_dim)
+                q, k, v = (
+                    qkv5[:, :, i].transpose(0, 2, 1, 3) for i in range(3)
+                )
             att = scaled_dot_product_attention(q, k, v, use_pallas=True)
             att = att.transpose(0, 2, 1, 3).reshape(b, n, self.hidden)
         else:
@@ -135,7 +144,7 @@ class DiTBlock(nn.Module):
             # auto flash-attention rewrite + 12 qkv relayout copies); the
             # VMEM kernel then halves the per-block attention cost again
             # (1.32 vs 2.29 ms/block fwd+bwd, slope protocol).
-            att = fused_attention_qkv(qkv, self.heads)
+            att = fused_attention_qkv(qkv, self.heads, self.qkv_layout)
         att = nn.Dense(self.hidden, dtype=self.dtype, name="proj")(att)
         x = x + gate_a[:, None, :].astype(x.dtype) * att.astype(x.dtype)
 
@@ -167,6 +176,12 @@ class DiT(nn.Module):
     out_channels: Optional[int] = None
     flash_attn: bool = False
     dtype: jnp.dtype = jnp.float32
+    # Packed-qkv channel order (see ops/attention.py LAYOUTS). "h3d" packs
+    # each head's (q,k,v) contiguously so a contiguous channel shard is a
+    # whole-head group — REQUIRED for tensor parallelism (--strategy tp);
+    # same parameter shapes, different column semantics, so the two layouts'
+    # checkpoints are not interchangeable.
+    qkv_layout: str = "s3hd"
 
     @property
     def null_class(self) -> int:
@@ -230,7 +245,8 @@ class DiT(nn.Module):
         for i in range(self.depth):
             tok = DiTBlock(
                 self.hidden, self.heads, self.mlp_ratio,
-                flash=self.flash_attn, dtype=self.dtype, name=f"block_{i}",
+                flash=self.flash_attn, dtype=self.dtype,
+                qkv_layout=self.qkv_layout, name=f"block_{i}",
             )(tok, c)
 
         # -- final layer: adaLN (zero-init) -> zero-init linear head ----------

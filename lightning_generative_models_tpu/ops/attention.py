@@ -186,17 +186,40 @@ def scaled_dot_product_attention(
 # transpose itself measured ~4.3 ms/step of relayout copies, see DiTBlock).
 # The backward is a real Pallas kernel (recompute-in-VMEM), not a fallback
 # to the XLA math.
+#
+# Two packed channel orders are supported (``layout``):
+# - "s3hd": (3, heads, d) — the [b,n,3,heads,d] reshape order: q block, then
+#   k, then v, heads-major within each. The historical default.
+# - "h3d":  (heads, 3, d) — per-head (q,k,v) contiguous. Required for tensor
+#   parallelism: a contiguous NamedSharding chunk of the channel dim is then
+#   a whole-head group, so Megatron-style head sharding (qkv Dense kernel
+#   column-sharded over the "model" axis) propagates through with ZERO
+#   activation collectives; custom_partitioning below runs the kernel
+#   per-shard with heads/tp local heads. With "s3hd" a channel shard would
+#   split the 3-factor, so that layout only partitions over batch.
+
+LAYOUTS = ("s3hd", "h3d")
 
 
-def _vmem_attn_fwd_kernel(qkv_ref, o_ref, *, heads: int, scale: float):
+def _qkv_offsets(layout: str, hd: int, d: int, hh: int):
+    """(q, k, v) channel offsets of head ``hh`` in the packed qkv dim."""
+    if layout == "s3hd":
+        return hh * d, hd + hh * d, 2 * hd + hh * d
+    base = hh * 3 * d
+    return base, base + d, base + 2 * d
+
+
+def _vmem_attn_fwd_kernel(qkv_ref, o_ref, *, heads: int, scale: float,
+                          layout: str):
     """One batch element: all heads' softmax attention entirely in VMEM."""
     x = qkv_ref[0]  # [n, 3*h*d]
     hd = x.shape[-1] // 3
     d = hd // heads
     for hh in range(heads):
-        q = x[:, hh * d:(hh + 1) * d].astype(jnp.float32)
-        k = x[:, hd + hh * d:hd + (hh + 1) * d].astype(jnp.float32)
-        v = x[:, 2 * hd + hh * d:2 * hd + (hh + 1) * d].astype(jnp.float32)
+        qo, ko, vo = _qkv_offsets(layout, hd, d, hh)
+        q = x[:, qo:qo + d].astype(jnp.float32)
+        k = x[:, ko:ko + d].astype(jnp.float32)
+        v = x[:, vo:vo + d].astype(jnp.float32)
         s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
@@ -206,7 +229,7 @@ def _vmem_attn_fwd_kernel(qkv_ref, o_ref, *, heads: int, scale: float):
 
 
 def _vmem_attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int,
-                          scale: float):
+                          scale: float, layout: str):
     """Backward by in-VMEM recompute: softmax-attention VJP per head.
 
     dV = P^T g;  dP = g V^T;  dS = P * (dP - rowsum(P * dP));
@@ -217,9 +240,10 @@ def _vmem_attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int,
     hd = x.shape[-1] // 3
     d = hd // heads
     for hh in range(heads):
-        q = x[:, hh * d:(hh + 1) * d].astype(jnp.float32)
-        k = x[:, hd + hh * d:hd + (hh + 1) * d].astype(jnp.float32)
-        v = x[:, 2 * hd + hh * d:2 * hd + (hh + 1) * d].astype(jnp.float32)
+        qo, ko, vo = _qkv_offsets(layout, hd, d, hh)
+        q = x[:, qo:qo + d].astype(jnp.float32)
+        k = x[:, ko:ko + d].astype(jnp.float32)
+        v = x[:, vo:vo + d].astype(jnp.float32)
         gh = g[:, hh * d:(hh + 1) * d].astype(jnp.float32)
         s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
         s = s - jnp.max(s, axis=-1, keepdims=True)
@@ -230,13 +254,9 @@ def _vmem_attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int,
         ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
         dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
         dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
-        dqkv_ref[0, :, hh * d:(hh + 1) * d] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, hd + hh * d:hd + (hh + 1) * d] = dk.astype(
-            dqkv_ref.dtype
-        )
-        dqkv_ref[0, :, 2 * hd + hh * d:2 * hd + (hh + 1) * d] = dv.astype(
-            dqkv_ref.dtype
-        )
+        dqkv_ref[0, :, qo:qo + d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, ko:ko + d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, vo:vo + d] = dv.astype(dqkv_ref.dtype)
 
 
 def _vmem_attn_specs(b: int, n: int, width: int):
@@ -245,15 +265,19 @@ def _vmem_attn_specs(b: int, n: int, width: int):
     return pl.BlockSpec((1, n, width), lambda i: (i, 0, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("heads",))
-def _vmem_attention_fwd_impl(qkv: jax.Array, heads: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("heads", "layout"))
+def _vmem_attention_fwd_impl(
+    qkv: jax.Array, heads: int, layout: str = "s3hd"
+) -> jax.Array:
     from jax.experimental import pallas as pl  # noqa: PLC0415
 
     b, n, w3 = qkv.shape
     hd = w3 // 3
     scale = (hd // heads) ** -0.5
     return pl.pallas_call(
-        functools.partial(_vmem_attn_fwd_kernel, heads=heads, scale=scale),
+        functools.partial(
+            _vmem_attn_fwd_kernel, heads=heads, scale=scale, layout=layout
+        ),
         grid=(b,),
         in_specs=[_vmem_attn_specs(b, n, w3)],
         out_specs=_vmem_attn_specs(b, n, hd),
@@ -262,9 +286,9 @@ def _vmem_attention_fwd_impl(qkv: jax.Array, heads: int) -> jax.Array:
     )(qkv)
 
 
-@functools.partial(jax.jit, static_argnames=("heads",))
+@functools.partial(jax.jit, static_argnames=("heads", "layout"))
 def _vmem_attention_bwd_impl(
-    qkv: jax.Array, g: jax.Array, heads: int
+    qkv: jax.Array, g: jax.Array, heads: int, layout: str = "s3hd"
 ) -> jax.Array:
     from jax.experimental import pallas as pl  # noqa: PLC0415
 
@@ -272,7 +296,9 @@ def _vmem_attention_bwd_impl(
     hd = w3 // 3
     scale = (hd // heads) ** -0.5
     return pl.pallas_call(
-        functools.partial(_vmem_attn_bwd_kernel, heads=heads, scale=scale),
+        functools.partial(
+            _vmem_attn_bwd_kernel, heads=heads, scale=scale, layout=layout
+        ),
         grid=(b,),
         in_specs=[_vmem_attn_specs(b, n, w3), _vmem_attn_specs(b, n, hd)],
         out_specs=_vmem_attn_specs(b, n, w3),
@@ -284,7 +310,10 @@ def _vmem_attention_bwd_impl(
 # Under pjit over a device mesh, GSPMD treats the pallas_call custom call as
 # opaque and would all-gather the batch; custom_partitioning declares both
 # kernels batch-dim partitionable so each chip runs them on its local shard
-# (same treatment as ops/linear_attention.py).
+# (same treatment as ops/linear_attention.py). The "h3d" layout additionally
+# declares the packed CHANNEL dim partitionable: a contiguous channel shard
+# is a whole-head group there, so under tensor parallelism each chip runs
+# the kernel on its heads/tp local heads with no gather.
 
 from jax.experimental.custom_partitioning import (  # noqa: E402
     custom_partitioning,
@@ -296,21 +325,58 @@ from lightning_generative_models_tpu.ops.common import (  # noqa: E402
 )
 
 
+def _spec_axis(arg_info, dim: int):
+    """Mesh axes sharding dimension ``dim`` of an operand (None if not)."""
+    spec = arg_info.sharding.spec if arg_info.sharding else P()
+    return spec[dim] if len(spec) > dim else None
+
+
+def _axis_size(mesh, axes) -> int:
+    if axes is None:
+        return 1
+    if isinstance(axes, (tuple, list)):
+        size = 1
+        for a in axes:
+            size *= mesh.shape[a]
+        return size
+    return mesh.shape[axes]
+
+
+def _local_heads(mesh, chan_axes, heads: int, layout: str) -> int:
+    """Per-shard head count when the channel dim is sharded ``tp`` ways."""
+    tp = _axis_size(mesh, chan_axes)
+    if tp == 1:
+        return heads
+    if layout != "h3d" or heads % tp:
+        raise ValueError(
+            f"packed-qkv channel dim sharded {tp} ways needs layout='h3d' "
+            f"and heads % tp == 0 (got layout={layout!r}, heads={heads})"
+        )
+    return heads // tp
+
+
 @functools.lru_cache(maxsize=None)
-def _vmem_spmd_forward(heads: int):
+def _vmem_spmd_forward(heads: int, layout: str = "s3hd"):
     @custom_partitioning
     def fwd(qkv):
-        return _vmem_attention_fwd_impl(qkv, heads)
+        return _vmem_attention_fwd_impl(qkv, heads, layout)
+
+    def _specs(mesh, arg_infos):
+        batch = _batch_axes(arg_infos[0])
+        chan = _spec_axis(arg_infos[0], 2) if layout == "h3d" else None
+        return batch, chan
 
     def infer(mesh, arg_infos, result_infos):
-        return NamedSharding(mesh, P(_batch_axes(arg_infos[0]), None, None))
+        batch, chan = _specs(mesh, arg_infos)
+        return NamedSharding(mesh, P(batch, None, chan))
 
     def partition(mesh, arg_infos, result_infos):
-        batch = _batch_axes(arg_infos[0])
-        sh = NamedSharding(mesh, P(batch, None, None))
+        batch, chan = _specs(mesh, arg_infos)
+        n_local = _local_heads(mesh, chan, heads, layout)
+        sh = NamedSharding(mesh, P(batch, None, chan))
 
         def impl(qkv):
-            return _vmem_attention_fwd_impl(qkv, heads)
+            return _vmem_attention_fwd_impl(qkv, n_local, layout)
 
         return mesh, impl, sh, (sh,)
 
@@ -323,22 +389,30 @@ def _vmem_spmd_forward(heads: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _vmem_spmd_backward(heads: int):
+def _vmem_spmd_backward(heads: int, layout: str = "s3hd"):
     @custom_partitioning
     def bwd(qkv, g):
-        return _vmem_attention_bwd_impl(qkv, g, heads)
+        return _vmem_attention_bwd_impl(qkv, g, heads, layout)
+
+    def _specs(mesh, arg_infos):
+        batch = _batch_axes(arg_infos[0])
+        chan = _spec_axis(arg_infos[0], 2) if layout == "h3d" else None
+        return batch, chan
 
     def infer(mesh, arg_infos, result_infos):
-        return NamedSharding(mesh, P(_batch_axes(arg_infos[0]), None, None))
+        batch, chan = _specs(mesh, arg_infos)
+        return NamedSharding(mesh, P(batch, None, chan))
 
     def partition(mesh, arg_infos, result_infos):
-        batch = _batch_axes(arg_infos[0])
-        sh = NamedSharding(mesh, P(batch, None, None))
+        batch, chan = _specs(mesh, arg_infos)
+        n_local = _local_heads(mesh, chan, heads, layout)
+        sh_qkv = NamedSharding(mesh, P(batch, None, chan))
+        sh_g = NamedSharding(mesh, P(batch, None, chan))
 
         def impl(qkv, g):
-            return _vmem_attention_bwd_impl(qkv, g, heads)
+            return _vmem_attention_bwd_impl(qkv, g, n_local, layout)
 
-        return mesh, impl, sh, (sh, sh)
+        return mesh, impl, sh_qkv, (sh_qkv, sh_g)
 
     bwd.def_partition(
         infer_sharding_from_operands=infer,
@@ -348,17 +422,17 @@ def _vmem_spmd_backward(heads: int):
     return bwd
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _vmem_attention(qkv: jax.Array, heads: int) -> jax.Array:
-    return _vmem_spmd_forward(heads)(qkv)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _vmem_attention(qkv: jax.Array, heads: int, layout: str = "s3hd") -> jax.Array:
+    return _vmem_spmd_forward(heads, layout)(qkv)
 
 
-def _vmem_attention_fwd(qkv, heads):
-    return _vmem_spmd_forward(heads)(qkv), qkv
+def _vmem_attention_fwd(qkv, heads, layout="s3hd"):
+    return _vmem_spmd_forward(heads, layout)(qkv), qkv
 
 
-def _vmem_attention_bwd(heads, qkv, g):
-    return (_vmem_spmd_backward(heads)(qkv, g),)
+def _vmem_attention_bwd(heads, layout, qkv, g):
+    return (_vmem_spmd_backward(heads, layout)(qkv, g),)
 
 
 _vmem_attention.defvjp(_vmem_attention_fwd, _vmem_attention_bwd)
@@ -381,12 +455,17 @@ def _vmem_attention_fits(n: int, width3: int, heads: int) -> bool:
     return blocks + head_f32 + scores < 12 * 1024 * 1024
 
 
-def fused_attention_qkv(qkv: jax.Array, heads: int) -> jax.Array:
+def fused_attention_qkv(
+    qkv: jax.Array, heads: int, layout: str = "s3hd"
+) -> jax.Array:
     """Multi-head softmax attention on packed head-minor qkv.
 
-    ``qkv``: [b, n, 3*heads*d] — the raw Dense(3*h*d) output, laid out as
-    the [b, n, 3, heads, d] reshape would be (q block, then k, then v, each
-    head-major within its block). Returns [b, n, heads*d].
+    ``qkv``: [b, n, 3*heads*d] — the raw Dense(3*h*d) output, packed in
+    ``layout`` order: "s3hd" is the [b, n, 3, heads, d] reshape order (q
+    block, then k, then v, heads-major within each; the default), "h3d" the
+    [b, n, heads, 3, d] order (per-head q,k,v contiguous — the tensor-
+    parallel layout, whose channel dim shards into whole-head groups).
+    Returns [b, n, heads*d], heads-major, identically for both layouts.
 
     Dispatches to the fully-fused VMEM Pallas kernel (zero n^2 HBM traffic,
     real Pallas backward) when on TPU and the per-batch working set fits
@@ -394,6 +473,8 @@ def fused_attention_qkv(qkv: jax.Array, heads: int) -> jax.Array:
     math — equivalence-tested).
     """
     b, n, w3 = qkv.shape
+    if layout not in LAYOUTS:
+        raise ValueError(f"unknown qkv layout {layout!r}; pick from {LAYOUTS}")
     if w3 % (3 * heads):
         raise ValueError(f"qkv width {w3} is not 3*heads*d for heads={heads}")
     if (
@@ -402,17 +483,23 @@ def fused_attention_qkv(qkv: jax.Array, heads: int) -> jax.Array:
         and (w3 // (3 * heads)) % 8 == 0
         and _vmem_attention_fits(n, w3, heads)
     ):
-        return _vmem_attention(qkv, heads)
-    return _einsum_attention_qkv(qkv, heads)
+        return _vmem_attention(qkv, heads, layout)
+    return _einsum_attention_qkv(qkv, heads, layout)
 
 
-def _einsum_attention_qkv(qkv: jax.Array, heads: int) -> jax.Array:
+def _einsum_attention_qkv(
+    qkv: jax.Array, heads: int, layout: str = "s3hd"
+) -> jax.Array:
     """Reference math for ``fused_attention_qkv`` (and the off-TPU path):
     einsums contracted directly in [b, n, heads, d] — no head transpose."""
     b, n, w3 = qkv.shape
     d = w3 // (3 * heads)
-    x = qkv.reshape(b, n, 3, heads, d)
-    q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+    if layout == "h3d":
+        x = qkv.reshape(b, n, heads, 3, d)
+        q, k, v = x[..., 0, :], x[..., 1, :], x[..., 2, :]
+    else:
+        x = qkv.reshape(b, n, 3, heads, d)
+        q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]
     logits = jnp.einsum("bqhd,bkhd->bhqk", q * d**-0.5, k)
     w = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, n, heads * d)

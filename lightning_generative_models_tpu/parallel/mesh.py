@@ -28,6 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def initialize_distributed(**kwargs: Any) -> None:
@@ -150,27 +151,96 @@ def fsdp_sharding(
     return NamedSharding(mesh, P(*spec))
 
 
+# -- tensor parallelism (Megatron-style, DiT backbone) -----------------------
+#
+# The classic 2-collective-per-block recipe (Shoeybi et al. 2019,
+# arXiv:1909.08053), expressed the TPU way: PartitionSpec annotations on the
+# parameter leaves, GSPMD inserts the psums. Per transformer block:
+#
+# - qkv Dense: COLUMN-parallel (kernel [hidden, 3hd] sharded on the output
+#   dim). With the DiT "h3d" packed layout a contiguous channel shard is a
+#   whole-head group, so attention itself runs embarrassingly parallel over
+#   local heads (the fused VMEM Pallas kernel declares the channel dim
+#   partitionable — see ops/attention.py) with ZERO collectives.
+# - attention proj Dense: ROW-parallel (kernel [hd, hidden] sharded on the
+#   input dim) — consumes the head-sharded activation directly; GSPMD adds
+#   ONE psum over the model axis to produce the replicated residual.
+# - MLP fc1: column-parallel; fc2: row-parallel — same pattern, one psum.
+#
+# Everything else (LayerNorms, adaLN modulation, embeddings, head) is
+# replicated: tiny, and keeping the residual stream replicated over the
+# model axis is what bounds the comm at 2 psums/block.
+
+_TP_COLUMN = ("qkv", "fc1")  # kernel out-dim + bias sharded
+_TP_ROW = ("proj", "fc2")  # kernel in-dim sharded, bias replicated
+
+
+def _path_names(path: Any) -> list:
+    names = []
+    for k in path:
+        for attr in ("key", "name", "idx"):
+            if hasattr(k, attr):
+                names.append(str(getattr(k, attr)))
+                break
+    return names
+
+
+def tp_sharding(path: Any, x: Any, mesh: Mesh, axis: str = MODEL_AXIS):
+    """Tensor-parallel sharding for one state leaf, selected by tree path.
+
+    Matches the DiT block's Dense modules by name anywhere in the tree, so
+    the same rule shards ``params``, the EMA copy, and the optax moments
+    (their subtrees mirror the param tree). Unmatched leaves replicate.
+    """
+    names = _path_names(path)
+    n = mesh.shape[axis]
+    shape = tuple(getattr(x, "shape", ()))
+    if n <= 1 or len(names) < 2:
+        return NamedSharding(mesh, P())
+    mod, leaf = names[-2], names[-1]
+    spec = None
+    if mod in _TP_COLUMN and leaf == "kernel" and len(shape) == 2:
+        spec = P(None, axis)
+    elif mod in _TP_COLUMN and leaf == "bias" and len(shape) == 1:
+        spec = P(axis)
+    elif mod in _TP_ROW and leaf == "kernel" and len(shape) == 2:
+        spec = P(axis, None)
+    if spec is None:
+        return NamedSharding(mesh, P())
+    dim = next(i for i, a in enumerate(spec) if a == axis)
+    if shape[dim] % n:
+        raise ValueError(
+            f"tensor-parallel leaf {'/'.join(names[-4:])} has dim {dim} of "
+            f"size {shape[dim]}, not divisible by the {n}-way model axis"
+        )
+    return NamedSharding(mesh, spec)
+
+
 def shard_state(
     tree: Any,
     mesh: Mesh,
     fsdp: bool = False,
     min_size: int = 2**16,
+    tp: bool = False,
 ) -> Any:
     """Place a TrainState pytree on the mesh: replicated (data-parallel
-    default) or FSDP-sharded (params + optimizer moments + EMA distributed
-    over the data axis; XLA inserts all-gather/reduce-scatter).
+    default), FSDP-sharded (params + optimizer moments + EMA distributed
+    over the data axis; XLA inserts all-gather/reduce-scatter), or
+    tensor-parallel (Megatron rules over the mesh's "model" axis, see
+    :func:`tp_sharding`; ``fsdp`` and ``tp`` are mutually exclusive).
 
     Multi-host: every process holds the full host value (seeded init or
     checkpoint restore), so each leaf's global array is assembled via
     ``make_array_from_callback`` — each host materialises only the index
     slices of its addressable shards.
     """
-    if not fsdp:
+    if fsdp and tp:
+        raise ValueError("fsdp and tp sharding are mutually exclusive")
+    if not fsdp and not tp:
         return replicate(tree, mesh)
     multi_host = jax.process_count() > 1
 
-    def _place(x: Any) -> jax.Array:
-        sharding = fsdp_sharding(x, mesh, min_size=min_size)
+    def _put(x: Any, sharding: NamedSharding) -> jax.Array:
         if multi_host:
             host = np.asarray(x)
             return jax.make_array_from_callback(
@@ -178,7 +248,14 @@ def shard_state(
             )
         return jax.device_put(x, sharding)
 
-    return jax.tree_util.tree_map(_place, tree)
+    if tp:
+        return jax.tree_util.tree_map_with_path(
+            lambda path, x: _put(x, tp_sharding(path, x, mesh)), tree
+        )
+
+    return jax.tree_util.tree_map(
+        lambda x: _put(x, fsdp_sharding(x, mesh, min_size=min_size)), tree
+    )
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

@@ -59,11 +59,23 @@ class Trainer:
         unroll_steps: int = 1,
         grad_accum_mode: str = "auto",
         strategy: str = "data_parallel",
+        tp_size: int = 0,
     ):
         self.model = model
         self.datamodule = datamodule
         self.experiment_dir = Path(experiment_dir)
         self.logger = exp_logger or ExperimentLogger(self.experiment_dir)
+        if strategy == "tp" and mesh is None:
+            n_dev = jax.device_count()
+            tp_size = tp_size or n_dev
+            if n_dev % tp_size:
+                raise ValueError(
+                    f"tp_size {tp_size} does not divide {n_dev} devices"
+                )
+            mesh = mesh_lib.create_mesh(
+                axis_names=(mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS),
+                shape=(n_dev // tp_size, tp_size),
+            )
         self.mesh = mesh if mesh is not None else mesh_lib.create_mesh()
         self.max_epochs = max_epochs
         self.max_steps = max_steps
@@ -78,12 +90,19 @@ class Trainer:
         # semantics, utils/lightning_utils.py:23-56). "fsdp": params +
         # optimizer state + EMA additionally sharded over the data axis
         # (ZeRO-3 via GSPMD; see parallel/mesh.py:fsdp_sharding) — same math,
-        # per-device state memory divided by the mesh size.
-        if strategy not in ("data_parallel", "ddp", "auto", "fsdp"):
+        # per-device state memory divided by the mesh size. "tp": Megatron
+        # tensor parallelism over the mesh's "model" axis (DiT backbone
+        # only; see parallel/mesh.py:tp_sharding) — batch sharded over
+        # "data", block weights sharded over "model", 2 psums per block.
+        if strategy not in ("data_parallel", "ddp", "auto", "fsdp", "tp"):
             raise ValueError(
-                f"strategy must be data_parallel|ddp|auto|fsdp, got {strategy!r}"
+                "strategy must be data_parallel|ddp|auto|fsdp|tp, "
+                f"got {strategy!r}"
             )
         self.fsdp = strategy == "fsdp"
+        self.tp = strategy == "tp"
+        if self.tp:
+            self._validate_tp()
 
         if accumulate_grad_batches > 1 and not getattr(
             model, "supports_grad_accum", True
@@ -202,7 +221,7 @@ class Trainer:
                 state, Path(ckpt_path).name
             )
 
-        state = mesh_lib.shard_state(state, self.mesh, fsdp=self.fsdp)
+        state = mesh_lib.shard_state(state, self.mesh, fsdp=self.fsdp, tp=self.tp)
         self._log_model_summary(state)
 
         prev_handler = signal.getsignal(signal.SIGTERM)
@@ -221,6 +240,35 @@ class Trainer:
         return state
 
     # -- internals -----------------------------------------------------------
+    def _validate_tp(self) -> None:
+        """Tensor parallelism requires a DiT backbone in the "h3d" packed-qkv
+        layout (whole-head channel shards) with heads divisible by the model
+        axis — fail loudly at construction, not deep inside GSPMD."""
+        from lightning_generative_models_tpu.models.diffusion.dit import DiT
+
+        if mesh_lib.MODEL_AXIS not in self.mesh.axis_names:
+            raise ValueError(
+                "strategy='tp' needs a mesh with a 'model' axis "
+                f"(got axes {self.mesh.axis_names}); pass --tp_size"
+            )
+        tp = self.mesh.shape[mesh_lib.MODEL_AXIS]
+        net = getattr(self.model, "unet", None)
+        if not isinstance(net, DiT):
+            raise ValueError(
+                "strategy='tp' supports the DiT backbone only — set "
+                "network='dit' in the model config"
+            )
+        if net.qkv_layout != "h3d":
+            raise ValueError(
+                "strategy='tp' requires qkv_layout='h3d' in the model config "
+                "(per-head q,k,v packing, so channel shards are whole heads)"
+            )
+        if net.heads % tp:
+            raise ValueError(
+                f"DiT heads={net.heads} not divisible by the {tp}-way "
+                "model axis"
+            )
+
     def _gated_step(self, state: Any, batch: Any, rng: Any):
         if self.model.ema_step_needed(self.global_step + 1):
             return self._train_step_ema(state, batch, rng)
@@ -530,7 +578,7 @@ class Trainer:
                     "initialized weights.",
                     which, self.ckpt.directory,
                 )
-            state = mesh_lib.shard_state(state, self.mesh, fsdp=self.fsdp)
+            state = mesh_lib.shard_state(state, self.mesh, fsdp=self.fsdp, tp=self.tp)
         means = self._eval_over(state, self.datamodule.test_batches())
         renamed = {
             (k.replace("val_", "test_", 1) if k.startswith("val_")

@@ -46,12 +46,20 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
     parser.add_argument("--max_steps", type=int, default=-1)
     parser.add_argument(
         "--strategy", type=str, default="data_parallel",
-        choices=("data_parallel", "ddp", "auto", "fsdp"),
+        choices=("data_parallel", "ddp", "auto", "fsdp", "tp"),
         help="data_parallel/ddp/auto: params replicated, batch sharded over "
         "the device mesh (reference DDP autodetect). fsdp: additionally "
         "shard params/optimizer state/EMA over the data axis (ZeRO-3 via "
         "GSPMD sharding annotations) — identical math, per-device state "
-        "memory divided by the mesh size.",
+        "memory divided by the mesh size. tp: Megatron tensor parallelism "
+        "over a (data, model) mesh for DiT-backbone models (requires "
+        "qkv_layout='h3d' in the model config; --tp_size sets the model "
+        "axis).",
+    )
+    parser.add_argument(
+        "--tp_size", type=int, default=0,
+        help="model-axis size for --strategy tp (0 = all devices); must "
+        "divide both the device count and the DiT head count",
     )
     parser.add_argument("--accumulate_grad_batches", type=int, default=1)
     parser.add_argument(
@@ -237,6 +245,7 @@ def main(argv=None):
         sample_every_n_steps=args.sample_every_n_steps,
         grad_accum_mode=args.grad_accum_mode,
         strategy=args.strategy,
+        tp_size=args.tp_size,
     )
     if args.eval_split == "test":
         metrics = trainer.test(which=args.eval_which)
