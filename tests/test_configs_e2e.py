@@ -30,6 +30,10 @@ MODEL_OVERRIDES = {
                         "ema_update_after_step": 2, "ema_update_every": 1},
     "FlowMatching": {"dim": 8, "sampling_steps": 4, "use_bf16": False,
                      "ema_update_after_step": 2, "ema_update_every": 1},
+    "EDM": {"dim": 8, "sampling_steps": 4, "use_bf16": False,
+            "ema_update_after_step": 2, "ema_update_every": 1},
+    "LatentEDM": {"dim": 8, "sampling_steps": 4, "use_bf16": False,
+                  "ema_update_after_step": 2, "ema_update_every": 1},
     "LatentFlowMatching": {"dim": 8, "sampling_steps": 4, "use_bf16": False,
                            "ema_update_after_step": 2, "ema_update_every": 1},
     "VQVAE": {"hidden_dim": 32, "num_residual_hiddens": 8, "embedding_dim": 8,
