@@ -76,6 +76,7 @@ class DDPM(GenerativeModel):
         num_heads: int = 6,
         mlp_ratio: float = 4.0,
         qkv_layout: str = "s3hd",
+        seq_parallel: bool = False,
     ):
         """``num_classes`` enables class-conditional training with
         classifier-free guidance (beyond reference — the reference diffusion
@@ -120,12 +121,18 @@ class DDPM(GenerativeModel):
                 flash_attn=flash_attn,
                 dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
                 qkv_layout=qkv_layout,
+                seq_parallel=seq_parallel,
             )
         elif network == "unet":
             if qkv_layout != "s3hd":
                 raise ValueError(
                     "qkv_layout applies to the DiT backbone only (the UNet "
                     "does not use packed-qkv attention)"
+                )
+            if seq_parallel:
+                raise ValueError(
+                    "seq_parallel applies to the DiT backbone only (see "
+                    "models/diffusion/dit.py seq_shard)"
                 )
             self.unet = UNet(
                 dim=dim,

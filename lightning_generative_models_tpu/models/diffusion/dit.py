@@ -55,6 +55,29 @@ from lightning_generative_models_tpu.ops.attention import (
     fused_attention_qkv,
     scaled_dot_product_attention,
 )
+from lightning_generative_models_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def seq_shard(x: jax.Array) -> jax.Array:
+    """Megatron sequence-parallel hint (Korthikanti et al. 2022,
+    arXiv:2205.05198): constrain a [batch, tokens, hidden] activation to
+    ``P(data, model, None)`` so the LayerNorm / adaLN-modulation / residual
+    regions between the tensor-parallel matmuls run sharded over tokens
+    instead of replicated. GSPMD then converts each block's two output
+    all-reduces into reduce-scatters and inserts the matching all-gathers at
+    the qkv/fc1 entries — same bytes on the wire, 1/tp of the elementwise
+    work and activation memory on the residual stream.
+
+    A no-op unless the ambient mesh (``jax.set_mesh``, entered by the
+    Trainer under ``--strategy tp``) carries both axes — so a
+    ``seq_parallel`` checkpoint still samples/serves on a single chip.
+    """
+    am = jax.sharding.get_abstract_mesh()
+    if am.empty or DATA_AXIS not in am.axis_names or MODEL_AXIS not in am.axis_names:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(x, P(DATA_AXIS, MODEL_AXIS, None))
 
 
 def posemb_sincos_2d(h: int, w: int, dim: int) -> np.ndarray:
@@ -96,6 +119,7 @@ class DiTBlock(nn.Module):
     flash: bool = False
     dtype: jnp.dtype = jnp.float32
     qkv_layout: str = "s3hd"
+    seq_parallel: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
@@ -147,6 +171,8 @@ class DiTBlock(nn.Module):
             att = fused_attention_qkv(qkv, self.heads, self.qkv_layout)
         att = nn.Dense(self.hidden, dtype=self.dtype, name="proj")(att)
         x = x + gate_a[:, None, :].astype(x.dtype) * att.astype(x.dtype)
+        if self.seq_parallel:
+            x = seq_shard(x)
 
         # -- MLP branch --------------------------------------------------------
         h = modulate(ln("norm2")(x), sh_m, sc_m).astype(self.dtype)
@@ -155,7 +181,8 @@ class DiTBlock(nn.Module):
         )(h)
         h = nn.gelu(h, approximate=True)
         h = nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(h)
-        return x + gate_m[:, None, :].astype(x.dtype) * h.astype(x.dtype)
+        x = x + gate_m[:, None, :].astype(x.dtype) * h.astype(x.dtype)
+        return seq_shard(x) if self.seq_parallel else x
 
 
 class DiT(nn.Module):
@@ -182,6 +209,11 @@ class DiT(nn.Module):
     # same parameter shapes, different column semantics, so the two layouts'
     # checkpoints are not interchangeable.
     qkv_layout: str = "s3hd"
+    # Megatron sequence parallelism on top of --strategy tp (see seq_shard):
+    # token-shards the LN/modulation/residual regions over the model axis.
+    # No parameters change; a no-op off the tp mesh, so the same checkpoint
+    # trains sp-sharded and samples single-chip.
+    seq_parallel: bool = False
 
     @property
     def null_class(self) -> int:
@@ -223,6 +255,8 @@ class DiT(nn.Module):
         tok = nn.Dense(self.hidden, dtype=self.dtype, name="patch_embed")(tok)
         pos = jnp.asarray(posemb_sincos_2d(gh, gw, self.hidden))
         tok = tok + pos[None].astype(tok.dtype)
+        if self.seq_parallel:
+            tok = seq_shard(tok)
 
         # -- conditioning vector: timestep [+ class] --------------------------
         t = SinusoidalPosEmb(256)(time)
@@ -246,7 +280,8 @@ class DiT(nn.Module):
             tok = DiTBlock(
                 self.hidden, self.heads, self.mlp_ratio,
                 flash=self.flash_attn, dtype=self.dtype,
-                qkv_layout=self.qkv_layout, name=f"block_{i}",
+                qkv_layout=self.qkv_layout, seq_parallel=self.seq_parallel,
+                name=f"block_{i}",
             )(tok, c)
 
         # -- final layer: adaLN (zero-init) -> zero-init linear head ----------

@@ -103,6 +103,15 @@ class Trainer:
         self.tp = strategy == "tp"
         if self.tp:
             self._validate_tp()
+        elif getattr(getattr(model, "unet", None), "seq_parallel", False):
+            # The seq_shard constraints are mechanical no-ops off the tp
+            # mesh (models/diffusion/dit.py:seq_shard), so this is not an
+            # error — but the user likely forgot --strategy tp.
+            logger.warning(
+                "model config sets seq_parallel=true but strategy=%r — "
+                "sequence parallelism only takes effect under --strategy tp",
+                strategy,
+            )
 
         if accumulate_grad_batches > 1 and not getattr(
             model, "supports_grad_accum", True
@@ -227,7 +236,8 @@ class Trainer:
         prev_handler = signal.getsignal(signal.SIGTERM)
         signal.signal(signal.SIGTERM, self._handle_sigterm)
         try:
-            state = self._fit_loop(state, start_epoch)
+            with self._mesh_context():
+                state = self._fit_loop(state, start_epoch)
         finally:
             signal.signal(signal.SIGTERM, prev_handler)
             # Interrupt/crash save with the CURRENT epoch (retry semantics).
@@ -268,6 +278,23 @@ class Trainer:
                 f"DiT heads={net.heads} not divisible by the {tp}-way "
                 "model axis"
             )
+        if net.seq_parallel:
+            tokens = (self.model.img_size // net.patch_size) ** 2
+            if tokens % tp:
+                raise ValueError(
+                    f"seq_parallel: {tokens} tokens "
+                    f"(img {self.model.img_size} / patch {net.patch_size}) "
+                    f"not divisible by the {tp}-way model axis"
+                )
+
+    def _mesh_context(self):
+        """Ambient-mesh context for jit tracing under --strategy tp: the
+        DiT seq_shard constraints resolve their PartitionSpecs against
+        ``jax.set_mesh``'s abstract mesh. A no-op for other strategies (the
+        1-axis data mesh needs no ambient resolution)."""
+        import contextlib
+
+        return jax.set_mesh(self.mesh) if self.tp else contextlib.nullcontext()
 
     def _gated_step(self, state: Any, batch: Any, rng: Any):
         if self.model.ema_step_needed(self.global_step + 1):
@@ -579,7 +606,8 @@ class Trainer:
                     which, self.ckpt.directory,
                 )
             state = mesh_lib.shard_state(state, self.mesh, fsdp=self.fsdp, tp=self.tp)
-        means = self._eval_over(state, self.datamodule.test_batches())
+        with self._mesh_context():
+            means = self._eval_over(state, self.datamodule.test_batches())
         renamed = {
             (k.replace("val_", "test_", 1) if k.startswith("val_")
              else f"test_{k}"): v

@@ -190,6 +190,142 @@ def test_tp_train_step_matches_single_device(rng):
     assert qkv_kernel.sharding.spec == P(None, "model")
 
 
+def test_sp_train_step_matches_single_device(rng):
+    """Megatron sequence parallelism (seq_parallel=true on the tp mesh) is a
+    layout annotation, not math: losses and parameter updates must match the
+    single-device step exactly as tp's do."""
+    model = load_model({"name": "DDPM", "args": tiny_dit_args()})
+    model_sp = load_model(
+        {"name": "DDPM", "args": tiny_dit_args(seq_parallel=True)}
+    )
+    batch = make_batch()
+
+    s1 = model.init_state(rng)
+    step = jax.jit(model.train_step, donate_argnums=0)
+    s1, m1 = step(s1, jax.device_put(batch), rng)
+    s1, m1b = step(s1, jax.device_put(batch), jax.random.fold_in(rng, 1))
+
+    mesh = tp_mesh()
+    s_sp = mesh_lib.shard_state(model_sp.init_state(rng), mesh, tp=True)
+    b_sp = mesh_lib.shard_batch(batch, mesh)
+    step_sp = jax.jit(model_sp.train_step, donate_argnums=0)
+    with jax.set_mesh(mesh):
+        s_sp, t1 = step_sp(s_sp, b_sp, rng)
+        s_sp, t1b = step_sp(s_sp, b_sp, jax.random.fold_in(rng, 1))
+
+    np.testing.assert_allclose(float(m1["train_loss"]),
+                               float(t1["train_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1b["train_loss"]),
+                               float(t1b["train_loss"]), rtol=1e-5)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(jax.device_get(s1.params)),
+        jax.tree_util.tree_leaves_with_path(jax.device_get(s_sp.params)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            err_msg=f"param diverged under tp+sp: {path}",
+        )
+    qkv_kernel = s_sp.params["model"]["block_0"]["qkv"]["kernel"]
+    assert qkv_kernel.sharding.spec == P(None, "model")
+
+
+def test_sp_restructures_collectives(rng):
+    """The constraint must change the partitioned program: with sp the
+    residual stream stays token-sharded and GSPMD inserts all-gathers at the
+    matmul entries (zero in plain tp, where activations are replicated over
+    the model axis). On TPU the paired all-reduce->reduce-scatter conversion
+    then halves the LN-region traffic; on the CPU test backend that pass
+    does not run, so the all-gather count is the observable."""
+    mesh = tp_mesh()
+    batch = make_batch()
+    counts = {}
+    for sp in (False, True):
+        m = load_model(
+            {"name": "DDPM", "args": tiny_dit_args(seq_parallel=sp)}
+        )
+        s = mesh_lib.shard_state(m.init_state(rng), mesh, tp=True)
+        b = mesh_lib.shard_batch(batch, mesh)
+        with jax.set_mesh(mesh):
+            txt = (
+                jax.jit(m.train_step, donate_argnums=0)
+                .lower(s, b, rng).compile().as_text()
+            )
+        counts[sp] = (txt.count("all-gather"), txt.count("all-reduce"))
+    assert counts[False][0] == 0, counts
+    assert counts[True][0] > 0, counts
+    assert counts[True][1] > 0, counts
+
+
+def test_sp_is_noop_off_mesh(rng):
+    """seq_parallel checkpoints must sample/serve on a single chip: without
+    an ambient (data, model) mesh the constraints vanish and the forward is
+    bit-identical to the plain model's."""
+    from lightning_generative_models_tpu.models.diffusion.dit import seq_shard
+
+    m = load_model({"name": "DDPM", "args": tiny_dit_args()})
+    m_sp = load_model(
+        {"name": "DDPM", "args": tiny_dit_args(seq_parallel=True)}
+    )
+    params = jax.jit(m.init_state)(rng).params["model"]
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (2, 16, 16, 1))
+    t = jnp.asarray([1.0, 3.0])
+    out = m.unet.apply({"params": params}, x, t)
+    out_sp = m_sp.unet.apply({"params": params}, x, t)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_sp))
+
+    # The helper itself: sharded under the mesh, replicated off it.
+    mesh = tp_mesh()
+    with jax.set_mesh(mesh):
+        y = jax.jit(lambda v: seq_shard(v * 1.0))(jnp.ones((8, 16, 32)))
+    assert y.sharding.spec == P("data", "model")
+    y2 = jax.jit(lambda v: seq_shard(v * 1.0))(jnp.ones((8, 16, 32)))
+    assert y2.sharding.is_fully_replicated
+
+
+def test_trainer_sp_validation_and_fit(tmp_path, caplog):
+    import logging
+
+    from lightning_generative_models_tpu.data.datamodule import DataModule
+    from lightning_generative_models_tpu.train.trainer import Trainer
+
+    def dm(img=16):
+        return DataModule(name="MNIST", img_size=img, img_channels=1,
+                          batch_size=8, synthetic_size=32)
+
+    # Token count must divide the model axis: img 12 / patch 4 -> 9 tokens.
+    m_bad = load_model({"name": "DDPM", "args": tiny_dit_args(
+        img_size=12, seq_parallel=True)})
+    with pytest.raises(ValueError, match="tokens"):
+        Trainer(m_bad, dm(12), tmp_path / "bad", strategy="tp", tp_size=4)
+
+    # seq_parallel without --strategy tp: loud warning, not an error (the
+    # constraints are mechanical no-ops off the tp mesh).
+    m_sp = load_model({"name": "DDPM", "args": tiny_dit_args(
+        seq_parallel=True)})
+    with caplog.at_level(logging.WARNING):
+        Trainer(m_sp, dm(), tmp_path / "warn")
+    assert any("seq_parallel" in r.message for r in caplog.records)
+
+    # seq_parallel on the UNet backbone rejected at model construction.
+    with pytest.raises(ValueError, match="DiT backbone"):
+        load_model({"name": "DDPM", "args": tiny_dit_args(
+            network="unet", patch_size=2, qkv_layout="s3hd", dim=8,
+            dim_mults=[1, 2], seq_parallel=True)})
+
+    # And a real 2-step fit on the dp2 x tp4 mesh with sp active.
+    t = Trainer(
+        m_sp, dm(), tmp_path / "fit", max_steps=2, strategy="tp", tp_size=4,
+        log_every_n_steps=1, sample_every_n_steps=0,
+        check_val_every_n_epoch=99,
+    )
+    state = t.fit()
+    assert int(jax.device_get(state.step)) == 2
+    assert (
+        state.params["model"]["block_0"]["qkv"]["kernel"].sharding.spec
+        == P(None, "model")
+    )
+
+
 def test_trainer_tp_validation_and_fit(tmp_path):
     from lightning_generative_models_tpu.data.datamodule import DataModule
     from lightning_generative_models_tpu.train.trainer import Trainer
