@@ -77,6 +77,10 @@ class DDPM(GenerativeModel):
         mlp_ratio: float = 4.0,
         qkv_layout: str = "s3hd",
         seq_parallel: bool = False,
+        num_experts: int = 0,
+        capacity_factor: float = 1.25,
+        moe_every: int = 2,
+        moe_aux_weight: float = 0.01,
     ):
         """``num_classes`` enables class-conditional training with
         classifier-free guidance (beyond reference — the reference diffusion
@@ -102,6 +106,7 @@ class DDPM(GenerativeModel):
         self.num_classes = int(num_classes or 0)
         self.cond_drop_prob = cond_drop_prob
         self.guidance_scale = guidance_scale
+        self.moe_aux_weight = moe_aux_weight
 
         if network == "dit":
             if self_condition:
@@ -122,6 +127,9 @@ class DDPM(GenerativeModel):
                 dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
                 qkv_layout=qkv_layout,
                 seq_parallel=seq_parallel,
+                num_experts=num_experts,
+                capacity_factor=capacity_factor,
+                moe_every=moe_every,
             )
         elif network == "unet":
             if qkv_layout != "s3hd":
@@ -133,6 +141,11 @@ class DDPM(GenerativeModel):
                 raise ValueError(
                     "seq_parallel applies to the DiT backbone only (see "
                     "models/diffusion/dit.py seq_shard)"
+                )
+            if num_experts:
+                raise ValueError(
+                    "num_experts (MoE) applies to the DiT backbone only "
+                    "(see models/modules/moe.py)"
                 )
             self.unet = UNet(
                 dim=dim,
@@ -275,13 +288,42 @@ class DDPM(GenerativeModel):
             )
             labels = jnp.where(drop, self.null_labels(labels.shape[0]), labels)
 
-        def loss_fn(params):
-            return self.diffusion.p_losses(
-                self._apply_fn(params, labels), x01, loss_rng
-            )
+        is_moe = getattr(self.unet, "num_experts", 0) > 0
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params["model"])
-        return grads, {"loss": loss}
+        def loss_fn(params):
+            if not is_moe:
+                return self.diffusion.p_losses(
+                    self._apply_fn(params, labels), x01, loss_rng
+                ), 0.0
+            # MoE: collect the routers' sown load-balancing losses. The
+            # training loss path calls the network exactly once (DiT has no
+            # self-conditioning), so the trace-time box holds one entry.
+            aux_box = []
+
+            def apply(x, t, x_self_cond=None):
+                variables = {"params": params}
+                kwargs = {"labels": labels} if self.num_classes else {}
+                out, col = self.unet.apply(
+                    variables, x, t, x_self_cond,
+                    mutable=["intermediates"], **kwargs
+                )
+                leaves = jax.tree_util.tree_leaves(col)
+                aux_box.append(
+                    sum(jnp.mean(v) for v in leaves) / max(len(leaves), 1)
+                )
+                return out
+
+            main = self.diffusion.p_losses(apply, x01, loss_rng)
+            aux = aux_box[0]
+            return main + self.moe_aux_weight * aux, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params["model"]
+        )
+        metrics = {"loss": loss}
+        if is_moe:
+            metrics["moe_aux"] = aux
+        return grads, metrics
 
     def apply_grad_step(self, state: TrainState, grads, metrics,
                         do_ema: bool = True):
@@ -319,7 +361,10 @@ class DDPM(GenerativeModel):
             opt_state={"model": new_opt},
             ema_params=new_ema,
         )
-        return new_state, {"train_loss": metrics["loss"]}
+        return new_state, {
+            ("train_loss" if k == "loss" else f"train_{k}"): v
+            for k, v in metrics.items()
+        }
 
     def train_step(
         self, state: TrainState, batch: Batch, rng: jax.Array

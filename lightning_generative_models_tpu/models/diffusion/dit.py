@@ -120,6 +120,10 @@ class DiTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     qkv_layout: str = "s3hd"
     seq_parallel: bool = False
+    # >0 replaces this block's MLP with a Switch/GShard top-1 MoE
+    # (models/modules/moe.py); expert-parallel under --strategy tp.
+    num_experts: int = 0
+    capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
@@ -176,11 +180,26 @@ class DiTBlock(nn.Module):
 
         # -- MLP branch --------------------------------------------------------
         h = modulate(ln("norm2")(x), sh_m, sc_m).astype(self.dtype)
-        h = nn.Dense(
-            int(self.hidden * self.mlp_ratio), dtype=self.dtype, name="fc1"
-        )(h)
-        h = nn.gelu(h, approximate=True)
-        h = nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(h)
+        if self.num_experts > 0:
+            from lightning_generative_models_tpu.models.modules.moe import (
+                MoEMlp,
+            )
+
+            h = MoEMlp(
+                hidden=self.hidden,
+                mlp_dim=int(self.hidden * self.mlp_ratio),
+                num_experts=self.num_experts,
+                capacity_factor=self.capacity_factor,
+                dtype=self.dtype,
+                name="moe",
+            )(h)
+        else:
+            h = nn.Dense(
+                int(self.hidden * self.mlp_ratio), dtype=self.dtype,
+                name="fc1",
+            )(h)
+            h = nn.gelu(h, approximate=True)
+            h = nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(h)
         x = x + gate_m[:, None, :].astype(x.dtype) * h.astype(x.dtype)
         return seq_shard(x) if self.seq_parallel else x
 
@@ -214,6 +233,14 @@ class DiT(nn.Module):
     # No parameters change; a no-op off the tp mesh, so the same checkpoint
     # trains sp-sharded and samples single-chip.
     seq_parallel: bool = False
+    # Mixture of Experts (beyond reference; DiT-MoE, arXiv:2407.11633 /
+    # Switch arXiv:2101.03961): num_experts > 0 swaps the MLP of every
+    # ``moe_every``-th block (the paper-standard alternation is 2) for a
+    # top-1-routed expert bank (models/modules/moe.py). Expert-parallel
+    # under --strategy tp: wi/wo shard over the model axis on dim 0.
+    num_experts: int = 0
+    capacity_factor: float = 1.25
+    moe_every: int = 2
 
     @property
     def null_class(self) -> int:
@@ -277,10 +304,19 @@ class DiT(nn.Module):
             )(labels.astype(jnp.int32))
 
         for i in range(self.depth):
+            # MoE on every moe_every-th block, aligned so the LAST block is
+            # always MoE (matches the alternate-and-end-dense-first DiT-MoE
+            # layout and guarantees >=1 MoE block at any depth).
+            moe_here = (
+                self.num_experts > 0
+                and (self.depth - 1 - i) % self.moe_every == 0
+            )
             tok = DiTBlock(
                 self.hidden, self.heads, self.mlp_ratio,
                 flash=self.flash_attn, dtype=self.dtype,
                 qkv_layout=self.qkv_layout, seq_parallel=self.seq_parallel,
+                num_experts=self.num_experts if moe_here else 0,
+                capacity_factor=self.capacity_factor,
                 name=f"block_{i}",
             )(tok, c)
 

@@ -173,6 +173,11 @@ def fsdp_sharding(
 
 _TP_COLUMN = ("qkv", "fc1")  # kernel out-dim + bias sharded
 _TP_ROW = ("proj", "fc2")  # kernel in-dim sharded, bias replicated
+# Expert parallelism (MoE blocks, models/modules/moe.py): the expert-major
+# parameters shard on dim 0, one expert group per model-axis slice; GSPMD
+# turns the dispatch/combine einsums into the all-to-all exchange. The
+# router Dense stays replicated (tiny, and every chip routes its tokens).
+_TP_EXPERT = ("wi", "wo", "bi", "bo")  # leaves under a module named "moe"
 
 
 def _path_names(path: Any) -> list:
@@ -205,6 +210,8 @@ def tp_sharding(path: Any, x: Any, mesh: Mesh, axis: str = MODEL_AXIS):
         spec = P(axis)
     elif mod in _TP_ROW and leaf == "kernel" and len(shape) == 2:
         spec = P(axis, None)
+    elif mod == "moe" and leaf in _TP_EXPERT and len(shape) >= 2:
+        spec = P(axis, *([None] * (len(shape) - 1)))
     if spec is None:
         return NamedSharding(mesh, P())
     dim = next(i for i, a in enumerate(spec) if a == axis)

@@ -286,6 +286,12 @@ class Trainer:
                     f"(img {self.model.img_size} / patch {net.patch_size}) "
                     f"not divisible by the {tp}-way model axis"
                 )
+        if net.num_experts and net.num_experts % tp:
+            raise ValueError(
+                f"MoE num_experts={net.num_experts} not divisible by the "
+                f"{tp}-way model axis (expert parallelism shards whole "
+                "experts)"
+            )
 
     def _mesh_context(self):
         """Ambient-mesh context for jit tracing under --strategy tp: the
