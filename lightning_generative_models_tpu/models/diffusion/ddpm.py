@@ -81,6 +81,8 @@ class DDPM(GenerativeModel):
         capacity_factor: float = 1.25,
         moe_every: int = 2,
         moe_aux_weight: float = 0.01,
+        pipeline_stages: int = 0,
+        pipeline_microbatches: int = 0,
     ):
         """``num_classes`` enables class-conditional training with
         classifier-free guidance (beyond reference — the reference diffusion
@@ -130,6 +132,8 @@ class DDPM(GenerativeModel):
                 num_experts=num_experts,
                 capacity_factor=capacity_factor,
                 moe_every=moe_every,
+                pipeline_stages=pipeline_stages,
+                pipeline_microbatches=pipeline_microbatches,
             )
         elif network == "unet":
             if qkv_layout != "s3hd":
@@ -146,6 +150,11 @@ class DDPM(GenerativeModel):
                 raise ValueError(
                     "num_experts (MoE) applies to the DiT backbone only "
                     "(see models/modules/moe.py)"
+                )
+            if pipeline_stages:
+                raise ValueError(
+                    "pipeline_stages applies to the DiT backbone only "
+                    "(see models/diffusion/pipeline.py)"
                 )
             self.unet = UNet(
                 dim=dim,

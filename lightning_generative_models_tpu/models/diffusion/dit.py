@@ -124,6 +124,11 @@ class DiTBlock(nn.Module):
     # (models/modules/moe.py); expert-parallel under --strategy tp.
     num_experts: int = 0
     capacity_factor: float = 1.25
+    # Force the head-minor einsum attention (the fused VMEM kernel's
+    # reference math). Set by the pipeline-parallel stage wrapper: the
+    # Pallas kernel's custom_partitioning has no batching rule under the
+    # stage-vmap (models/diffusion/pipeline.py).
+    einsum_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
@@ -172,7 +177,14 @@ class DiTBlock(nn.Module):
             # auto flash-attention rewrite + 12 qkv relayout copies); the
             # VMEM kernel then halves the per-block attention cost again
             # (1.32 vs 2.29 ms/block fwd+bwd, slope protocol).
-            att = fused_attention_qkv(qkv, self.heads, self.qkv_layout)
+            if self.einsum_attn:
+                from lightning_generative_models_tpu.ops.attention import (
+                    _einsum_attention_qkv,
+                )
+
+                att = _einsum_attention_qkv(qkv, self.heads, self.qkv_layout)
+            else:
+                att = fused_attention_qkv(qkv, self.heads, self.qkv_layout)
         att = nn.Dense(self.hidden, dtype=self.dtype, name="proj")(att)
         x = x + gate_a[:, None, :].astype(x.dtype) * att.astype(x.dtype)
         if self.seq_parallel:
@@ -241,6 +253,16 @@ class DiT(nn.Module):
     num_experts: int = 0
     capacity_factor: float = 1.25
     moe_every: int = 2
+    # Pipeline parallelism (--strategy pp; GPipe, arXiv:1811.06965 — see
+    # models/diffusion/pipeline.py): >0 groups the block stack into that many
+    # stages with stage-stacked parameters (sharded over the mesh's "stage"
+    # axis under --strategy pp) and runs the microbatch schedule. Same math
+    # as the sequential stack, but a DIFFERENT parameter tree (stacked), so
+    # pipeline and sequential checkpoints are not interchangeable.
+    pipeline_stages: int = 0
+    # Microbatches for the GPipe schedule (0 -> pipeline_stages). Bubble
+    # fraction is (S-1)/(M+S-1); raise M to amortize it.
+    pipeline_microbatches: int = 0
 
     @property
     def null_class(self) -> int:
@@ -303,22 +325,53 @@ class DiT(nn.Module):
                 name="class_emb",
             )(labels.astype(jnp.int32))
 
-        for i in range(self.depth):
-            # MoE on every moe_every-th block, aligned so the LAST block is
-            # always MoE (matches the alternate-and-end-dense-first DiT-MoE
-            # layout and guarantees >=1 MoE block at any depth).
-            moe_here = (
-                self.num_experts > 0
-                and (self.depth - 1 - i) % self.moe_every == 0
+        if self.pipeline_stages > 0:
+            s = self.pipeline_stages
+            if self.depth % s:
+                raise ValueError(
+                    f"depth {self.depth} not divisible by "
+                    f"pipeline_stages={s}"
+                )
+            if self.num_experts or self.seq_parallel or self.flash_attn:
+                raise ValueError(
+                    "pipeline_stages is incompatible with num_experts, "
+                    "seq_parallel and flash_attn (stages must be "
+                    "structurally identical; see models/diffusion/"
+                    "pipeline.py)"
+                )
+            from lightning_generative_models_tpu.models.diffusion.pipeline import (
+                pipeline_blocks,
             )
-            tok = DiTBlock(
-                self.hidden, self.heads, self.mlp_ratio,
-                flash=self.flash_attn, dtype=self.dtype,
-                qkv_layout=self.qkv_layout, seq_parallel=self.seq_parallel,
-                num_experts=self.num_experts if moe_here else 0,
-                capacity_factor=self.capacity_factor,
-                name=f"block_{i}",
-            )(tok, c)
+
+            tok = pipeline_blocks(
+                tok, c,
+                stages=s,
+                microbatches=self.pipeline_microbatches or s,
+                per_stage=self.depth // s,
+                hidden=self.hidden,
+                heads=self.heads,
+                mlp_ratio=self.mlp_ratio,
+                dtype=self.dtype,
+                qkv_layout=self.qkv_layout,
+            )
+        else:
+            for i in range(self.depth):
+                # MoE on every moe_every-th block, aligned so the LAST block
+                # is always MoE (matches the alternate-and-end-dense-first
+                # DiT-MoE layout and guarantees >=1 MoE block at any depth).
+                moe_here = (
+                    self.num_experts > 0
+                    and (self.depth - 1 - i) % self.moe_every == 0
+                )
+                tok = DiTBlock(
+                    self.hidden, self.heads, self.mlp_ratio,
+                    flash=self.flash_attn, dtype=self.dtype,
+                    qkv_layout=self.qkv_layout,
+                    seq_parallel=self.seq_parallel,
+                    num_experts=self.num_experts if moe_here else 0,
+                    capacity_factor=self.capacity_factor,
+                    name=f"block_{i}",
+                )(tok, c)
 
         # -- final layer: adaLN (zero-init) -> zero-init linear head ----------
         mod = nn.Dense(

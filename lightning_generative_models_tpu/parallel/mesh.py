@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+STAGE_AXIS = "stage"
 
 
 def initialize_distributed(**kwargs: Any) -> None:
@@ -223,27 +224,60 @@ def tp_sharding(path: Any, x: Any, mesh: Mesh, axis: str = MODEL_AXIS):
     return NamedSharding(mesh, spec)
 
 
+# -- pipeline parallelism (GPipe schedule, DiT backbone) ---------------------
+#
+# models/diffusion/pipeline.py stacks each stage's block parameters on a
+# leading stage axis (nn.vmap over stages); the sharding rule below places
+# that axis on the mesh's "stage" axis so each chip holds 1/S of the block
+# weights and GSPMD lowers the schedule's stage-shifts to collective
+# permutes. Everything outside the stacked stack (patch embed, conditioning
+# MLPs, final head — tiny) replicates.
+
+
+def pp_sharding(path: Any, x: Any, mesh: Mesh, axis: str = STAGE_AXIS):
+    """Pipeline-parallel sharding for one state leaf: leaves under the
+    scanned ``pipeline`` module carry a leading stage dimension — shard it
+    over the stage axis; replicate everything else. Path-based like
+    :func:`tp_sharding`, so the same rule shards params, EMA, and the optax
+    moments."""
+    names = _path_names(path)
+    n = mesh.shape[axis]
+    shape = tuple(getattr(x, "shape", ()))
+    if n <= 1 or "pipeline" not in names or not shape:
+        return NamedSharding(mesh, P())
+    if shape[0] % n:
+        raise ValueError(
+            f"pipeline leaf {'/'.join(names[-4:])} has stage dim {shape[0]}, "
+            f"not divisible by the {n}-way stage axis (set "
+            "pipeline_stages == pp_size)"
+        )
+    return NamedSharding(mesh, P(axis, *([None] * (len(shape) - 1))))
+
+
 def shard_state(
     tree: Any,
     mesh: Mesh,
     fsdp: bool = False,
     min_size: int = 2**16,
     tp: bool = False,
+    pp: bool = False,
 ) -> Any:
     """Place a TrainState pytree on the mesh: replicated (data-parallel
     default), FSDP-sharded (params + optimizer moments + EMA distributed
-    over the data axis; XLA inserts all-gather/reduce-scatter), or
+    over the data axis; XLA inserts all-gather/reduce-scatter),
     tensor-parallel (Megatron rules over the mesh's "model" axis, see
-    :func:`tp_sharding`; ``fsdp`` and ``tp`` are mutually exclusive).
+    :func:`tp_sharding`), or pipeline-parallel (stage-stacked block leaves
+    over the mesh's "stage" axis, see :func:`pp_sharding`); ``fsdp``/``tp``/
+    ``pp`` are mutually exclusive.
 
     Multi-host: every process holds the full host value (seeded init or
     checkpoint restore), so each leaf's global array is assembled via
     ``make_array_from_callback`` — each host materialises only the index
     slices of its addressable shards.
     """
-    if fsdp and tp:
-        raise ValueError("fsdp and tp sharding are mutually exclusive")
-    if not fsdp and not tp:
+    if sum((fsdp, tp, pp)) > 1:
+        raise ValueError("fsdp, tp and pp sharding are mutually exclusive")
+    if not fsdp and not tp and not pp:
         return replicate(tree, mesh)
     multi_host = jax.process_count() > 1
 
@@ -258,6 +292,11 @@ def shard_state(
     if tp:
         return jax.tree_util.tree_map_with_path(
             lambda path, x: _put(x, tp_sharding(path, x, mesh)), tree
+        )
+
+    if pp:
+        return jax.tree_util.tree_map_with_path(
+            lambda path, x: _put(x, pp_sharding(path, x, mesh)), tree
         )
 
     return jax.tree_util.tree_map(

@@ -60,6 +60,7 @@ class Trainer:
         grad_accum_mode: str = "auto",
         strategy: str = "data_parallel",
         tp_size: int = 0,
+        pp_size: int = 0,
     ):
         self.model = model
         self.datamodule = datamodule
@@ -75,6 +76,17 @@ class Trainer:
             mesh = mesh_lib.create_mesh(
                 axis_names=(mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS),
                 shape=(n_dev // tp_size, tp_size),
+            )
+        if strategy == "pp" and mesh is None:
+            n_dev = jax.device_count()
+            pp_size = pp_size or n_dev
+            if n_dev % pp_size:
+                raise ValueError(
+                    f"pp_size {pp_size} does not divide {n_dev} devices"
+                )
+            mesh = mesh_lib.create_mesh(
+                axis_names=(mesh_lib.DATA_AXIS, mesh_lib.STAGE_AXIS),
+                shape=(n_dev // pp_size, pp_size),
             )
         self.mesh = mesh if mesh is not None else mesh_lib.create_mesh()
         self.max_epochs = max_epochs
@@ -94,15 +106,23 @@ class Trainer:
         # tensor parallelism over the mesh's "model" axis (DiT backbone
         # only; see parallel/mesh.py:tp_sharding) — batch sharded over
         # "data", block weights sharded over "model", 2 psums per block.
-        if strategy not in ("data_parallel", "ddp", "auto", "fsdp", "tp"):
+        # "pp": GPipe pipeline parallelism over the mesh's "stage" axis (DiT
+        # backbone only; see models/diffusion/pipeline.py + parallel/
+        # mesh.py:pp_sharding) — batch sharded over "data", stage-stacked
+        # block weights sharded over "stage", the microbatch schedule's
+        # stage shifts lowered to collective permutes by GSPMD.
+        if strategy not in ("data_parallel", "ddp", "auto", "fsdp", "tp", "pp"):
             raise ValueError(
-                "strategy must be data_parallel|ddp|auto|fsdp|tp, "
+                "strategy must be data_parallel|ddp|auto|fsdp|tp|pp, "
                 f"got {strategy!r}"
             )
         self.fsdp = strategy == "fsdp"
         self.tp = strategy == "tp"
+        self.pp = strategy == "pp"
         if self.tp:
             self._validate_tp()
+        elif self.pp:
+            self._validate_pp()
         elif getattr(getattr(model, "unet", None), "seq_parallel", False):
             # The seq_shard constraints are mechanical no-ops off the tp
             # mesh (models/diffusion/dit.py:seq_shard), so this is not an
@@ -230,7 +250,8 @@ class Trainer:
                 state, Path(ckpt_path).name
             )
 
-        state = mesh_lib.shard_state(state, self.mesh, fsdp=self.fsdp, tp=self.tp)
+        state = mesh_lib.shard_state(
+            state, self.mesh, fsdp=self.fsdp, tp=self.tp, pp=self.pp)
         self._log_model_summary(state)
 
         prev_handler = signal.getsignal(signal.SIGTERM)
@@ -293,14 +314,42 @@ class Trainer:
                 "experts)"
             )
 
+    def _validate_pp(self) -> None:
+        """Pipeline parallelism requires a DiT backbone whose configured
+        stage count matches the mesh's stage axis — fail loudly at
+        construction, not deep inside GSPMD."""
+        from lightning_generative_models_tpu.models.diffusion.dit import DiT
+
+        if mesh_lib.STAGE_AXIS not in self.mesh.axis_names:
+            raise ValueError(
+                "strategy='pp' needs a mesh with a 'stage' axis "
+                f"(got axes {self.mesh.axis_names}); pass --pp_size"
+            )
+        pp = self.mesh.shape[mesh_lib.STAGE_AXIS]
+        net = getattr(self.model, "unet", None)
+        if not isinstance(net, DiT):
+            raise ValueError(
+                "strategy='pp' supports the DiT backbone only — set "
+                "network='dit' in the model config"
+            )
+        if net.pipeline_stages != pp:
+            raise ValueError(
+                f"model config pipeline_stages={net.pipeline_stages} does "
+                f"not match the {pp}-way stage axis (set pipeline_stages "
+                "== pp_size; 0 disables the pipeline schedule entirely)"
+            )
+
     def _mesh_context(self):
-        """Ambient-mesh context for jit tracing under --strategy tp: the
-        DiT seq_shard constraints resolve their PartitionSpecs against
-        ``jax.set_mesh``'s abstract mesh. A no-op for other strategies (the
-        1-axis data mesh needs no ambient resolution)."""
+        """Ambient-mesh context for jit tracing under --strategy tp/pp: the
+        DiT seq_shard / pipeline pp_shard constraints resolve their
+        PartitionSpecs against ``jax.set_mesh``'s abstract mesh. A no-op for
+        other strategies (the 1-axis data mesh needs no ambient
+        resolution)."""
         import contextlib
 
-        return jax.set_mesh(self.mesh) if self.tp else contextlib.nullcontext()
+        if self.tp or self.pp:
+            return jax.set_mesh(self.mesh)
+        return contextlib.nullcontext()
 
     def _gated_step(self, state: Any, batch: Any, rng: Any):
         if self.model.ema_step_needed(self.global_step + 1):
@@ -611,7 +660,8 @@ class Trainer:
                     "initialized weights.",
                     which, self.ckpt.directory,
                 )
-            state = mesh_lib.shard_state(state, self.mesh, fsdp=self.fsdp, tp=self.tp)
+            state = mesh_lib.shard_state(
+                state, self.mesh, fsdp=self.fsdp, tp=self.tp, pp=self.pp)
         with self._mesh_context():
             means = self._eval_over(state, self.datamodule.test_batches())
         renamed = {

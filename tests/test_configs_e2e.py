@@ -64,6 +64,10 @@ def _shrink(config):
     if args.get("network") == "dit":
         # DiT divisibility: hidden % heads == 0, hidden % 4 == 0 (posemb).
         args.update({"dim": 32, "depth": 2, "num_heads": 4})
+        if args.get("pipeline_stages"):
+            # depth % stages == 0 at the shrunk depth; the schedule itself
+            # (incl. bubble fill/drain) still runs off the pp mesh.
+            args.update({"pipeline_stages": 2, "pipeline_microbatches": 4})
     dset = config["dataset"]
     dset["batch_size"] = 8
     if name in SHRINK_IMG and dset.get("img_size", 0) > 32:

@@ -46,7 +46,7 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
     parser.add_argument("--max_steps", type=int, default=-1)
     parser.add_argument(
         "--strategy", type=str, default="data_parallel",
-        choices=("data_parallel", "ddp", "auto", "fsdp", "tp"),
+        choices=("data_parallel", "ddp", "auto", "fsdp", "tp", "pp"),
         help="data_parallel/ddp/auto: params replicated, batch sharded over "
         "the device mesh (reference DDP autodetect). fsdp: additionally "
         "shard params/optimizer state/EMA over the data axis (ZeRO-3 via "
@@ -54,12 +54,19 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
         "memory divided by the mesh size. tp: Megatron tensor parallelism "
         "over a (data, model) mesh for DiT-backbone models (requires "
         "qkv_layout='h3d' in the model config; --tp_size sets the model "
-        "axis).",
+        "axis). pp: GPipe pipeline parallelism over a (data, stage) mesh "
+        "for DiT-backbone models (requires pipeline_stages == --pp_size in "
+        "the model config).",
     )
     parser.add_argument(
         "--tp_size", type=int, default=0,
         help="model-axis size for --strategy tp (0 = all devices); must "
         "divide both the device count and the DiT head count",
+    )
+    parser.add_argument(
+        "--pp_size", type=int, default=0,
+        help="stage-axis size for --strategy pp (0 = all devices); must "
+        "divide the device count and equal the model's pipeline_stages",
     )
     parser.add_argument("--accumulate_grad_batches", type=int, default=1)
     parser.add_argument(
@@ -246,6 +253,7 @@ def main(argv=None):
         grad_accum_mode=args.grad_accum_mode,
         strategy=args.strategy,
         tp_size=args.tp_size,
+        pp_size=args.pp_size,
     )
     if args.eval_split == "test":
         metrics = trainer.test(which=args.eval_which)
