@@ -110,6 +110,21 @@ def main(argv=None):
     state, step, _ = ckpt.restore(state, args.which)
     print(f"Restored {args.which} checkpoint at step {step} from {exp_dir}")
 
+    # Multi-chip: replicate the restored state over a data mesh and enter it
+    # as the ambient mesh for the rest of the process, so the samplers'
+    # data_shard initial-noise constraint partitions generation (sample
+    # grids, --fid's 10k/50k batches) over all chips instead of replicating
+    # the whole chain on each. Single-chip runs skip this entirely.
+    if jax.device_count() > 1:
+        import contextlib
+
+        from lightning_generative_models_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.create_mesh()
+        state = mesh_lib.replicate(state, mesh)
+        _mesh_guard = contextlib.ExitStack()  # held until main returns
+        _mesh_guard.enter_context(jax.set_mesh(mesh))
+
     sample_rng = jax.random.fold_in(rng, 1)
     sample_fn = _make_sample_fn(model, args)
     if args.fid:

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from lightning_generative_models_tpu.parallel.mesh import data_shard
 from lightning_generative_models_tpu.models.base import (
     Batch,
     GenerativeModel,
@@ -124,6 +125,6 @@ class DAE(GenerativeModel):
 
     def sample(self, state: TrainState, rng: jax.Array, num_samples: int):
         """DAE has no prior; decode gaussian noise images as a diagnostic."""
-        noise = jax.random.normal(rng, (num_samples, *self.image_shape()))
+        noise = data_shard(jax.random.normal(rng, (num_samples, *self.image_shape())))
         x_hat = self.net.apply({"params": state.params["model"]}, noise)
         return self.to_image_space(x_hat)

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from lightning_generative_models_tpu.parallel.mesh import data_shard
 from lightning_generative_models_tpu.models.base import (
     Batch,
     GenerativeModel,
@@ -180,6 +181,6 @@ class PixelCNN(GenerativeModel):
             )
             return images, loop_rng
 
-        images0 = jnp.zeros((num_samples, h, w, c))
+        images0 = data_shard(jnp.zeros((num_samples, h, w, c)))
         images, _ = jax.lax.fori_loop(0, h * w, body, (images0, rng))
         return jnp.clip(images, 0.0, 1.0)

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lightning_generative_models_tpu.parallel.mesh import data_shard
 from lightning_generative_models_tpu.models.diffusion.ddpm import DDPM
 from lightning_generative_models_tpu.models.diffusion.gaussian_diffusion import (
     ApplyFn,
@@ -244,7 +245,7 @@ class EDMProcess:
         steps = steps or self.sampling_steps
         shape = (batch_size, self.img_size, self.img_size, self.channels)
         init_rng, churn_rng = jax.random.split(rng)
-        x = self.sigma_max * jax.random.normal(init_rng, shape)
+        x = self.sigma_max * data_shard(jax.random.normal(init_rng, shape))
         sigmas = self.sigma_grid(steps)
         return self.unnormalize(
             self._integrate(apply_fn, x, sigmas, churn_rng, method)

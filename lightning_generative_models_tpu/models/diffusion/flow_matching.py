@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lightning_generative_models_tpu.parallel.mesh import data_shard
 from lightning_generative_models_tpu.models.diffusion.ddpm import DDPM
 from lightning_generative_models_tpu.models.diffusion.gaussian_diffusion import (
     ApplyFn,
@@ -180,7 +181,7 @@ class RectifiedFlow:
         steps = steps or self.sampling_steps
         shape = (batch_size, self.img_size, self.img_size, self.channels)
         init_rng, _ = jax.random.split(rng)
-        x = jax.random.normal(init_rng, shape)
+        x = data_shard(jax.random.normal(init_rng, shape))
         return self.unnormalize(self._integrate(apply_fn, x, 1.0, method, steps))
 
     # -- interpolation (same surface as GaussianDiffusion.interpolate) ----------

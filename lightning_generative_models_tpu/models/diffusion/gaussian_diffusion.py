@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lightning_generative_models_tpu.parallel.mesh import data_shard
+
 ApplyFn = Callable[[jax.Array, jax.Array, Optional[jax.Array]], jax.Array]
 
 
@@ -298,7 +300,7 @@ class GaussianDiffusion:
     ) -> jax.Array:
         shape = (batch_size, self.img_size, self.img_size, self.channels)
         init_rng, loop_rng = jax.random.split(rng)
-        img0 = jax.random.normal(init_rng, shape)
+        img0 = data_shard(jax.random.normal(init_rng, shape))
 
         def step(carry, t):
             img, x_start_prev = carry
@@ -334,7 +336,7 @@ class GaussianDiffusion:
         pairs = np.asarray(list(zip(times[:-1], times[1:])), np.int32)
 
         init_rng, loop_rng = jax.random.split(rng)
-        img0 = jax.random.normal(init_rng, shape)
+        img0 = data_shard(jax.random.normal(init_rng, shape))
 
         def step(carry, pair):
             img, x_start_prev, i = carry
@@ -417,7 +419,7 @@ class GaussianDiffusion:
         # start from the identical x_T for a given rng (the solver itself is
         # deterministic — no loop noise).
         init_rng, _ = jax.random.split(rng)
-        img0 = jax.random.normal(init_rng, shape)
+        img0 = data_shard(jax.random.normal(init_rng, shape))
 
         def step(carry, row):
             img, x0_prev, lam_prev, i = carry

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from lightning_generative_models_tpu.parallel.mesh import data_shard
 from lightning_generative_models_tpu.models.base import (
     Batch,
     GenerativeModel,
@@ -166,7 +167,7 @@ class NICE(GenerativeModel):
         return self.prefix_metrics(metrics, "val")
 
     def sample(self, state: TrainState, rng: jax.Array, num_samples: int) -> jax.Array:
-        z = jax.random.normal(rng, (num_samples, self.dim))
+        z = data_shard(jax.random.normal(rng, (num_samples, self.dim)))
         x = self.net.apply({"params": state.params["model"]}, z, method="inverse")
         x = jnp.clip(x, 0.0, 1.0)
         return x.reshape(num_samples, *self.image_shape())

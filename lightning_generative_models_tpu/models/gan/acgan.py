@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from lightning_generative_models_tpu.parallel.mesh import data_shard
 from lightning_generative_models_tpu.models.base import (
     Batch,
     Metrics,
@@ -215,14 +216,14 @@ class ACGAN(GAN):
 
     def sample(self, state: TrainState, rng: jax.Array, num_samples: int):
         labels = jnp.arange(num_samples) % self.num_classes
-        z = self.sample_z(rng, num_samples)
+        z = data_shard(self.sample_z(rng, num_samples))
         x_hat, _ = self._generate_cond(
             state.params["G"], state.mutable["G"], z, labels, False
         )
         return self.to_image_space(x_hat)
 
     def sample_classes(self, state: TrainState, rng: jax.Array, labels):
-        z = self.sample_z(rng, labels.shape[0])
+        z = data_shard(self.sample_z(rng, labels.shape[0]))
         x_hat, _ = self._generate_cond(
             state.params["G"], state.mutable["G"], z, labels, False
         )

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from lightning_generative_models_tpu.parallel.mesh import data_shard
 from lightning_generative_models_tpu.models.base import (
     Batch,
     Metrics,
@@ -203,6 +204,6 @@ class BEGAN(GAN):
         )
 
     def sample(self, state: TrainState, rng: jax.Array, num_samples: int):
-        z = jax.random.normal(rng, (num_samples, self.latent_dim))
+        z = data_shard(jax.random.normal(rng, (num_samples, self.latent_dim)))
         x_hat = self.G.apply({"params": state.params["G"]}, z)
         return self.to_image_space(x_hat)

@@ -17,6 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from lightning_generative_models_tpu.parallel.mesh import data_shard
 from lightning_generative_models_tpu.models.base import (
     Batch,
     GenerativeModel,
@@ -213,14 +214,14 @@ class CGAN(GAN):
     def sample(self, state: TrainState, rng: jax.Array, num_samples: int) -> jax.Array:
         """Per-class grid: row r shows class r (reference cgan.py:331-357)."""
         labels = jnp.arange(num_samples) % self.num_classes
-        z = self.sample_z(rng, num_samples)
+        z = data_shard(self.sample_z(rng, num_samples))
         x_hat = self._generate_cond(state.params["G"], z, labels, False)
         return self.to_image_space(x_hat)
 
     def sample_classes(
         self, state: TrainState, rng: jax.Array, labels: jax.Array
     ) -> jax.Array:
-        z = self.sample_z(rng, labels.shape[0])
+        z = data_shard(self.sample_z(rng, labels.shape[0]))
         x_hat = self._generate_cond(state.params["G"], z, labels, False)
         return self.to_image_space(x_hat)
 

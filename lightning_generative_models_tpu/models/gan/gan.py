@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from lightning_generative_models_tpu.parallel.mesh import data_shard
 from lightning_generative_models_tpu.models.base import (
     Batch,
     GenerativeModel,
@@ -265,6 +266,6 @@ class GAN(GenerativeModel):
         return self.prefix_metrics({**d_metrics, **g_metrics}, "val")
 
     def sample(self, state: TrainState, rng: jax.Array, num_samples: int) -> jax.Array:
-        z = self.sample_z(rng, num_samples)
+        z = data_shard(self.sample_z(rng, num_samples))
         x_hat, _ = self._generate(state.params["G"], state.mutable["G"], z, False)
         return self.to_image_space(x_hat)

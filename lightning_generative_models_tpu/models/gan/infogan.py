@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from lightning_generative_models_tpu.parallel.mesh import data_shard
 from lightning_generative_models_tpu.models.base import (
     Batch,
     GenerativeModel,
@@ -285,6 +286,7 @@ class InfoGAN(GAN):
     def sample(self, state: TrainState, rng: jax.Array, num_samples: int) -> jax.Array:
         """Code-transition grid (reference infogan.py:499-510)."""
         z, cat, cont = self.generate_codes(rng, num_samples, structured=True)
+        z = data_shard(z)
         x_hat, _ = self._generate_coded(
             state.params["G"], state.mutable["G"], z, cat, cont, False
         )

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from lightning_generative_models_tpu.parallel.mesh import data_shard
 from lightning_generative_models_tpu.models.base import (
     Batch,
     GenerativeModel,
@@ -145,7 +146,7 @@ class VAE(GenerativeModel):
         return self.prefix_metrics(metrics, "val")
 
     def sample(self, state: TrainState, rng: jax.Array, num_samples: int) -> jax.Array:
-        z = jax.random.normal(rng, (num_samples, self.latent_dim))
+        z = data_shard(jax.random.normal(rng, (num_samples, self.latent_dim)))
         x_hat = self.decoder.apply({"params": state.params["decoder"]}, z)
         return self.to_image_space(x_hat)
 

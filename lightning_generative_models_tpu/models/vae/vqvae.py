@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from lightning_generative_models_tpu.parallel.mesh import data_shard
 from lightning_generative_models_tpu.models.base import (
     Batch,
     GenerativeModel,
@@ -214,12 +215,12 @@ class VQVAE(GenerativeModel):
     def sample(self, state: TrainState, rng: jax.Array, num_samples: int) -> jax.Array:
         """Decode uniformly random codebook indices (reference
         vqvae.py:229-256 ``random_sample``)."""
-        indices = jax.random.randint(
+        indices = data_shard(jax.random.randint(
             rng,
             (num_samples, self.latent_hw, self.latent_hw),
             0,
             self.num_embeddings,
-        )
+        ))
         codebook = self._codebook(state)
         q = codebook[indices]
         x_hat = self.decoder.apply({"params": state.params["decoder"]}, q)

@@ -67,6 +67,29 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def data_shard(x: jax.Array) -> jax.Array:
+    """Constrain a batched tensor's leading axis to ``P("data")`` against the
+    ambient mesh (``jax.set_mesh``).
+
+    This is the sampler-side counterpart of :func:`shard_batch`: samplers
+    start from generated noise rather than host data, so without a
+    constraint GSPMD sees only replicated operands and replicates the whole
+    sampling chain — on an N-chip mesh, N-1 chips compute identical samples.
+    Constraining the initial noise makes the entire ``lax.scan`` denoising
+    chain batch-partitioned (the carry sharding propagates), turning
+    validation grids and FID@10k generation into data-parallel work.
+
+    A mechanical no-op when there is no ambient mesh or it lacks a data
+    axis, so single-chip sampling and serving exports are untouched. Uneven
+    batches are fine (GSPMD pads the trailing shard).
+    """
+    am = jax.sharding.get_abstract_mesh()
+    if am.empty or DATA_AXIS not in am.axis_names:
+        return x
+    spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 def process_local_slice(
     x: np.ndarray,
     batch_axis: int = 0,

@@ -340,16 +340,15 @@ class Trainer:
             )
 
     def _mesh_context(self):
-        """Ambient-mesh context for jit tracing under --strategy tp/pp: the
-        DiT seq_shard / pipeline pp_shard constraints resolve their
-        PartitionSpecs against ``jax.set_mesh``'s abstract mesh. A no-op for
-        other strategies (the 1-axis data mesh needs no ambient
-        resolution)."""
-        import contextlib
-
-        if self.tp or self.pp:
-            return jax.set_mesh(self.mesh)
-        return contextlib.nullcontext()
+        """Ambient-mesh context for jit tracing: the DiT seq_shard /
+        pipeline pp_shard constraints (tp/pp) and the samplers'
+        ``data_shard`` initial-noise constraint (every strategy) resolve
+        their PartitionSpecs against ``jax.set_mesh``'s abstract mesh.
+        Entered for ALL strategies so validation grids / generative-metric
+        sampling run batch-partitioned over the data axis instead of
+        replicated; the train step is unaffected (its inputs carry explicit
+        shardings and the tp/pp constraints no-op without their axes)."""
+        return jax.set_mesh(self.mesh)
 
     def _gated_step(self, state: Any, batch: Any, rng: Any):
         if self.model.ema_step_needed(self.global_step + 1):
