@@ -15,17 +15,32 @@ model; the driver target is >= 3x that). Also reports DDIM-50 sampling
 throughput in ``extras``.
 
 Usage: python bench.py [--steps N] [--quick]
-Prints exactly one JSON line to stdout.
+
+Output contract (driver reads the LAST stdout line): the headline JSON line
+is printed as soon as the DCGAN measurement lands, then extras run
+IN-PROCESS in priority order under a global wall-clock budget
+(``LGM_TPU_BENCH_BUDGET_S``, default 1200 s), and one enriched JSON line is
+re-emitted at the end with per-extra wall times and a ``skipped`` list.
+A timeout or crash at any point after the headline still leaves a
+parseable artifact as the stdout tail.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+_T0 = time.monotonic()  # budget clock starts at process start
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _T0
 
 # FLOP-derived baselines for the reference's eager-PyTorch code on an A100
 # (derivation + measured step FLOPs: BASELINE.md "A100 baseline derivation";
@@ -118,35 +133,56 @@ def _min_slope_interleaved(run_chains, n1: int, n2: int, reps: int):
     return [(min(s2) - min(s1)) / (n2 - n1) for s1, s2 in segs]
 
 
-def _attach_guard(timeout_s: float = 900.0, retries: int = 1, _argv=None):
-    """Bounded accelerator-attach probe; returns None if healthy, else a
-    diagnostic string.
+def _error_artifact(msg: str) -> str:
+    """The parseable "backend down, re-run" line (value 0 = not a
+    measurement)."""
+    return json.dumps(
+        {
+            "metric": "DCGAN CIFAR-10 train images/sec/chip",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "error": msg,
+        }
+    )
+
+
+def _attach_with_watchdog(timeout_s: float = 240.0):
+    """Attach the accelerator in-process under a watchdog deadline.
 
     The tunneled TPU backend attaches inside a blocking C call at first
     device use — during a backend outage (observed 2026-08-18: attach hangs
     7-25+ min, then ``UNAVAILABLE: TPU backend setup/compile error``) an
-    in-process attach hangs the whole bench and no artifact lands at all.
-    Probing ``jax.device_count()`` in a subprocess with a hard timeout keeps
-    the "exactly one JSON line" contract even when the backend is down.
-    Cost in the healthy case: one extra attach (~100 s through the tunnel).
+    unguarded in-process attach hangs the whole bench and no artifact lands.
+    r1-r3 probed the attach in a SUBPROCESS first, paying a full extra
+    attach (~100 s through the tunnel) in the healthy case and up to
+    2x900 s in the worst — a budget blowout the round-3 driver box caught
+    (BENCH_r03 rc:124). This version attaches ONCE, with a daemon watchdog
+    that prints the error artifact and hard-exits if the blocking call
+    does not return within ``timeout_s`` (in-process timeouts cannot
+    interrupt the C call, but ``os._exit`` can abandon it). Returns None
+    on success, else a diagnostic string for fast (exception) failures.
     """
-    import subprocess
+    timeout_s = float(os.environ.get("LGM_TPU_ATTACH_TIMEOUT_S", timeout_s))
+    done = threading.Event()
 
-    argv = _argv or [sys.executable, "-c", "import jax; jax.device_count()"]
-    last = ""
-    for attempt in range(retries + 1):
-        try:
-            result = subprocess.run(
-                argv, capture_output=True, text=True, timeout=timeout_s
-            )
-            if result.returncode == 0:
-                return None
-            last = (result.stderr or result.stdout).strip()[-300:]
-        except subprocess.TimeoutExpired:
-            last = f"attach probe timed out after {timeout_s:.0f}s"
-        if attempt < retries:
-            time.sleep(120)
-    return last
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(_error_artifact(
+                f"accelerator attach exceeded {timeout_s:.0f}s watchdog"
+            ), flush=True)
+            os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    try:
+        import jax
+
+        jax.device_count()  # blocking attach happens here
+    except Exception as e:  # fast failure (e.g. UNAVAILABLE)
+        done.set()
+        return f"{type(e).__name__}: {e}"[:300]
+    done.set()
+    return None
 
 
 def _make_dcgan_setup(batch: int):
@@ -456,78 +492,150 @@ def bench_ldm_train(steps: int = 30, batch: int = 128, img: int = 64):
     return ldm_rate, pixel_rate
 
 
+def _cifar_batch(batch: int = 128, img: int = 32):
+    rs = np.random.RandomState(0)
+    return {
+        "image": rs.randint(0, 256, size=(batch, img, img, 3), dtype=np.uint8),
+        "label": rs.randint(0, 10, size=batch).astype(np.int32),
+    }
+
+
+def bench_fm_train(steps: int = 30, batch: int = 128):
+    """FlowMatching (rectified flow, UNet-64 backbone) CIFAR-10-shape
+    training throughput — the configs/diffusion/fm_cifar10.json scale, same
+    steady-state gated-EMA fori_loop protocol as bench_ddpm_train so the
+    number is directly comparable to the DDPM row (same backbone; the flow
+    loss replaces the diffusion loss)."""
+    from lightning_generative_models_tpu.models.diffusion.flow_matching import (
+        FlowMatching,
+    )
+
+    model = FlowMatching(img_channels=3, img_size=32, dim=64)
+    return _gated_train_rate(model, _cifar_batch(batch), steps)
+
+
+def bench_edm_train(steps: int = 30, batch: int = 128):
+    """EDM (Karras preconditioned denoiser, UNet-64 backbone) CIFAR-10-shape
+    training throughput — the configs/diffusion/edm_cifar10.json scale, same
+    gated-EMA protocol as the DDPM/FM rows (same backbone; EDM's
+    sigma-preconditioning wraps the network evaluation)."""
+    from lightning_generative_models_tpu.models.diffusion.edm import EDM
+
+    model = EDM(img_channels=3, img_size=32, dim=64, sigma_data=0.5)
+    return _gated_train_rate(model, _cifar_batch(batch), steps)
+
+
+def bench_dit_moe_train(steps: int = 30, batch: int = 128):
+    """DiT-MoE (Switch top-1, 8 experts every 2nd block) conditional
+    CIFAR-10-shape training throughput — the
+    configs/diffusion/dit_moe_cifar10.json scale, same gated-EMA protocol
+    as bench_dit_train so dense-vs-MoE step cost is directly comparable."""
+    from lightning_generative_models_tpu.models.diffusion.ddpm import DDPM
+
+    model = DDPM(
+        img_channels=3, img_size=32, network="dit", dim=384, depth=12,
+        num_heads=8, patch_size=2, qkv_layout="h3d", num_experts=8,
+        moe_every=2, capacity_factor=1.25, moe_aux_weight=0.01,
+        diffusion_timesteps=1000, num_classes=10, cond_drop_prob=0.1,
+    )
+    return _gated_train_rate(model, _cifar_batch(batch), steps)
+
+
+# (name, estimated in-process cost in seconds with a warm compile cache,
+#  runner) — priority order: higher rows land first under a tight budget.
+# Runners return a dict merged into extras. Estimates are budget-gate
+# inputs only (actual wall time is recorded per extra as <name>_wall_s);
+# a cold compile can overrun an estimate, which the NEXT gate sees as
+# real elapsed time — so the worst case is bounded by one extra's
+# overrun, not the sum.
+def _extra_runners():
+    return [
+        ("ddpm_train", 120, lambda: {
+            "ddpm_train_images_per_sec": bench_ddpm_train()}),
+        ("ddim50", 100, lambda: (lambda v1, v2: {
+            "ddim50_samples_per_sec": v1,
+            "ddim50_bs128_samples_per_sec": v2,
+            "vs_baseline_ddim50": round(v1 / A100_DDIM50_SAMPLES_PER_SEC, 3),
+        })(bench_ddim50(), bench_ddim50(batch=128))),
+        ("dit_train", 120, lambda: {
+            "dit_train_images_per_sec": bench_dit_train()}),
+        ("fm_train", 100, lambda: {
+            "fm_train_images_per_sec": bench_fm_train()}),
+        ("edm_train", 100, lambda: {
+            "edm_train_images_per_sec": bench_edm_train()}),
+        ("dpmpp20", 90, lambda: {
+            "dpmpp20_samples_per_sec": bench_dpmpp20()}),
+        ("dit_moe_train", 150, lambda: {
+            "dit_moe_train_images_per_sec": bench_dit_moe_train()}),
+        ("ldm64", 180, lambda: (lambda pair: {
+            "ldm64_train_images_per_sec": pair[0],
+            "ddpm_pixel64_train_images_per_sec": round(pair[1], 2),
+        })(bench_ldm_train())),
+        # unroll2 last: a docs-only comparison point (train.py --unroll_steps
+        # help text), not a coverage row.
+        ("ddpm_train_unroll2", 90, lambda: {
+            "ddpm_train_unroll2_images_per_sec": bench_ddpm_train(unroll=2)}),
+    ]
+
+
+def _only_mode(mode: str) -> int:
+    """Standalone single-row mode (manual runs / subprocess fallback)."""
+    for name, _est, fn in _extra_runners():
+        if name == mode:
+            out = fn()
+            # "value" key = the row's primary metric, for line parsers.
+            primary = next(iter(out.values()))
+            print(json.dumps({"value": primary, **{
+                k: round(v, 2) for k, v in out.items()}}))
+            return 0
+    raise SystemExit(f"unknown --only mode {mode}")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--quick", action="store_true",
-                        help="skip the DDIM sampling extra")
+                        help="headline only, skip all extras")
     parser.add_argument("--only", type=str, default=None,
-                        help=argparse.SUPPRESS)  # subprocess helper mode
+                        help=argparse.SUPPRESS)  # single-row helper mode
     args = parser.parse_args()
 
-    import os
+    budget_s = float(os.environ.get("LGM_TPU_BENCH_BUDGET_S", 1200))
 
-    if args.only is None and os.environ.get("LGM_TPU_SKIP_ATTACH_GUARD") != "1":
-        err = _attach_guard()
+    if os.environ.get("LGM_TPU_SKIP_ATTACH_GUARD") != "1":
+        err = _attach_with_watchdog()
         if err is not None:
-            # Emit a diagnosable artifact instead of hanging forever on a
-            # dead backend; value 0 + error marks "backend down, re-run",
-            # not a measurement.
-            print(
-                json.dumps(
-                    {
-                        "metric": "DCGAN CIFAR-10 train images/sec/chip",
-                        "value": 0.0,
-                        "unit": "images/sec/chip",
-                        "vs_baseline": 0.0,
-                        "error": f"accelerator attach failed: {err}",
-                    }
-                )
-            )
+            # Diagnosable artifact instead of hanging on a dead backend.
+            print(_error_artifact(f"accelerator attach failed: {err}"))
             return 0
 
     import jax
 
-    # Persistent compile cache (also in --only subprocess mode: the diffusion
-    # train/sampling programs with Pallas kernels take minutes to compile
-    # cold; cached they load in seconds).
+    # Persistent compile cache (the diffusion train/sampling programs with
+    # Pallas kernels take minutes to compile cold; cached they load in
+    # seconds — this is what makes the in-process extra estimates hold).
     cache_dir = os.path.join(os.path.dirname(__file__), "experiments", ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-    if args.only == "ddpm_train":
-        # Plain and unroll2 in the SAME process (a separate subprocess per
-        # mode is exactly the cross-process comparison that produced the
-        # contradictory r1/r2 unroll artifacts on this shared chip).
-        v1 = bench_ddpm_train()
-        v2 = bench_ddpm_train(unroll=2)
-        print(json.dumps({"value": v1, "unroll2": round(v2, 2)}))
-        return 0
-    if args.only == "ddim50":
-        # bs64 is the BASELINE.md protocol metric; bs128 additionally fills
-        # the 128 lanes at the UNet's c<128 stages (XLA's batch-minor
-        # layouts put batch in lanes there), measured +29%.
-        v1 = bench_ddim50()
-        v2 = bench_ddim50(batch=128)
-        print(json.dumps({"value": v1, "bs128": round(v2, 2)}))
-        return 0
-    if args.only == "dpmpp20":
-        print(json.dumps({"value": bench_dpmpp20()}))
-        return 0
-    if args.only == "dit_train":
-        print(json.dumps({"value": bench_dit_train()}))
-        return 0
-    if args.only == "ldm64":
-        ldm_rate, pixel_rate = bench_ldm_train()
-        print(json.dumps({"value": ldm_rate, "pixel64": round(pixel_rate, 2)}))
-        return 0
     if args.only:
-        raise SystemExit(f"unknown --only mode {args.only}")
+        return _only_mode(args.only)
 
     n_chips = jax.device_count()
     img_per_sec, step_time, dispatch_overhead = bench_dcgan(args.steps)
     per_chip = img_per_sec / n_chips
+
+    headline = {
+        "metric": "DCGAN CIFAR-10 train images/sec/chip",
+        "value": round(per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / A100_DCGAN_IMG_PER_SEC, 3),
+    }
+    # Incremental emission: the headline is a complete artifact on its own.
+    # If anything below stalls past the driver's box, the stdout tail is
+    # still this parseable line.
+    print(json.dumps(headline), flush=True)
 
     extras = {
         "dcgan_step_time_ms": round(step_time * 1e3, 3),
@@ -540,59 +648,53 @@ def main():
         "n_chips": n_chips,
         "backend": jax.default_backend(),
     }
+    skipped = []
+    final_emitted = threading.Event()
+
+    def emit_final():
+        if final_emitted.is_set():
+            return
+        final_emitted.set()
+        print(json.dumps({
+            **headline,
+            "extras": extras,
+            "skipped": skipped,
+            "budget_s": budget_s,
+            "wall_s": round(_elapsed(), 1),
+        }), flush=True)
+
     if not args.quick:
-        # Extras run in hard-timeboxed subprocesses: the headline metric must
-        # land even if a diffusion compile stalls (remote-compile backends
-        # block in C calls that in-process timeouts cannot interrupt).
-        import subprocess
+        # Self-bounding guarantee: if an in-process extra blocks in a C
+        # call past the budget (+120 s grace for the one in flight), emit
+        # the enriched line with everything measured so far and hard-exit
+        # rc 0 — the artifact lands no matter what.
+        def deadline_watchdog():
+            remaining = budget_s + 120 - _elapsed()
+            if remaining > 0 and final_emitted.wait(remaining):
+                return
+            if not final_emitted.is_set():
+                skipped.append("(budget watchdog fired)")
+                emit_final()
+                os._exit(0)
 
-        def timeboxed(label, mode, seconds=280, extra_keys=()):
+        threading.Thread(target=deadline_watchdog, daemon=True).start()
+
+        for name, est, fn in _extra_runners():
+            if _elapsed() + est > budget_s:
+                skipped.append(name)
+                continue
+            t0 = time.monotonic()
             try:
-                result = subprocess.run(
-                    [sys.executable, __file__, "--only", mode],
-                    capture_output=True, text=True, timeout=seconds,
-                )
-                line = result.stdout.strip().splitlines()[-1]
-                payload = json.loads(line)
-                extras[label] = round(payload["value"], 2)
-                for key, out_label in extra_keys:
-                    if key in payload:
-                        extras[out_label] = round(payload[key], 2)
+                extras.update({
+                    k: round(v, 2) if isinstance(v, float) else v
+                    for k, v in fn().items()
+                })
             except Exception as e:
-                extras[f"{label}_error"] = f"{type(e).__name__}: {e}"[:160]
+                extras[f"{name}_error"] = f"{type(e).__name__}: {e}"[:160]
+            extras[f"{name}_wall_s"] = round(time.monotonic() - t0, 1)
 
-        # Diffusion extras get a wider box: warm-cache runs still pay ~100s
-        # TPU attach + program-cache load through the tunnel.
-        timeboxed(
-            "ddim50_samples_per_sec", "ddim50", seconds=540,
-            extra_keys=(("bs128", "ddim50_bs128_samples_per_sec"),),
-        )
-        timeboxed(
-            "ddpm_train_images_per_sec", "ddpm_train", seconds=540,
-            extra_keys=(("unroll2", "ddpm_train_unroll2_images_per_sec"),),
-        )
-        timeboxed("dpmpp20_samples_per_sec", "dpmpp20", seconds=540)
-        timeboxed("dit_train_images_per_sec", "dit_train", seconds=540)
-        timeboxed(
-            "ldm64_train_images_per_sec", "ldm64", seconds=540,
-            extra_keys=(("pixel64", "ddpm_pixel64_train_images_per_sec"),),
-        )
-        if "ddim50_samples_per_sec" in extras:
-            extras["vs_baseline_ddim50"] = round(
-                extras["ddim50_samples_per_sec"] / A100_DDIM50_SAMPLES_PER_SEC, 3
-            )
-
-    print(
-        json.dumps(
-            {
-                "metric": "DCGAN CIFAR-10 train images/sec/chip",
-                "value": round(per_chip, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(per_chip / A100_DCGAN_IMG_PER_SEC, 3),
-                "extras": extras,
-            }
-        )
-    )
+    emit_final()
+    return 0
 
 
 if __name__ == "__main__":

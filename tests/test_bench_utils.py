@@ -97,37 +97,55 @@ def test_fori_chain_runs_n_steps_in_one_dispatch():
     assert calls["traces"] == 1
 
 
-def test_attach_guard_healthy_returns_none():
-    assert bench._attach_guard(_argv=[sys.executable, "-c", "pass"]) is None
+def test_attach_watchdog_healthy_returns_none():
+    # jax is importable and device_count() returns on the CPU test backend,
+    # well inside the watchdog deadline.
+    assert bench._attach_with_watchdog(timeout_s=60.0) is None
 
 
-def test_attach_guard_reports_subprocess_stderr():
-    err = bench._attach_guard(
-        retries=0,
-        _argv=[
-            sys.executable,
-            "-c",
-            "import sys; sys.stderr.write('UNAVAILABLE: backend down'); sys.exit(1)",
-        ],
-    )
+def test_attach_watchdog_reports_fast_failure(monkeypatch):
+    import jax
+
+    def boom():
+        raise RuntimeError("UNAVAILABLE: backend down")
+
+    monkeypatch.setattr(jax, "device_count", boom)
+    err = bench._attach_with_watchdog(timeout_s=60.0)
     assert err is not None and "UNAVAILABLE: backend down" in err
 
 
-def test_attach_guard_times_out_hung_attach():
-    err = bench._attach_guard(
-        timeout_s=0.5,
-        retries=0,
-        _argv=[sys.executable, "-c", "import time; time.sleep(30)"],
+def test_attach_watchdog_hard_exits_hung_attach():
+    """A hung blocking attach must end the process (rc 0) with the error
+    artifact as the stdout tail — verified in a real subprocess because
+    the watchdog path is os._exit."""
+    import json
+    import subprocess
+
+    code = (
+        "import sys, time, json\n"
+        "sys.path.insert(0, '.')\n"
+        "import bench, jax\n"
+        "jax.device_count = lambda: time.sleep(30)\n"
+        "bench._attach_with_watchdog(timeout_s=1.0)\n"
+        "time.sleep(30)\n"  # never reached: watchdog os._exits first
     )
-    assert err is not None and "timed out" in err
+    result = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=25, cwd=str(Path(__file__).resolve().parents[1]),
+    )
+    assert result.returncode == 0
+    payload = json.loads(result.stdout.strip().splitlines()[-1])
+    assert payload["value"] == 0.0
+    assert "watchdog" in payload["error"]
 
 
-def test_main_emits_error_json_when_attach_guard_fails(monkeypatch, capsys):
+def test_main_emits_error_json_when_attach_fails(monkeypatch, capsys):
     """During a backend outage main() must still print exactly one JSON
     line (value 0 + error) instead of hanging in the in-process attach."""
     import json
 
-    monkeypatch.setattr(bench, "_attach_guard", lambda: "attach probe timed out")
+    monkeypatch.setattr(
+        bench, "_attach_with_watchdog", lambda: "attach watchdog fired")
     monkeypatch.setattr(sys, "argv", ["bench.py", "--quick"])
     monkeypatch.delenv("LGM_TPU_SKIP_ATTACH_GUARD", raising=False)
     assert bench.main() == 0
@@ -135,20 +153,26 @@ def test_main_emits_error_json_when_attach_guard_fails(monkeypatch, capsys):
     assert len(lines) == 1
     payload = json.loads(lines[0])
     assert payload["value"] == 0.0
-    assert "attach probe timed out" in payload["error"]
+    assert "attach watchdog fired" in payload["error"]
 
 
-def test_main_healthy_guard_proceeds_to_measurement(monkeypatch, capsys):
+def test_main_healthy_emits_headline_then_enriched(monkeypatch, capsys):
+    """Incremental-emission contract: the headline line lands first (a
+    complete artifact on its own), the enriched line last; the driver
+    reads the tail, so both must be parseable."""
     import json
 
-    monkeypatch.setattr(bench, "_attach_guard", lambda: None)
+    monkeypatch.setattr(bench, "_attach_with_watchdog", lambda: None)
     monkeypatch.setattr(bench, "bench_dcgan", lambda steps: (20_000.0, 0.0064, 0.001))
     monkeypatch.setattr(sys, "argv", ["bench.py", "--quick", "--steps", "3"])
     monkeypatch.delenv("LGM_TPU_SKIP_ATTACH_GUARD", raising=False)
     bench.main()
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    head = json.loads(lines[0])
     payload = json.loads(lines[-1])
-    assert payload["value"] > 0
+    assert head["value"] == payload["value"] > 0
+    assert "extras" not in head  # headline stands alone
     assert "error" not in payload
     # value is per-chip (divided by jax.device_count(), 8 virtual here).
     n_chips = payload["extras"]["n_chips"]
@@ -156,6 +180,58 @@ def test_main_healthy_guard_proceeds_to_measurement(monkeypatch, capsys):
     assert payload["vs_baseline"] == pytest.approx(
         payload["value"] / bench.A100_DCGAN_IMG_PER_SEC, rel=1e-2
     )
+    assert payload["skipped"] == []
+    assert "wall_s" in payload
+
+
+def test_main_budget_gates_extras_in_priority_order(monkeypatch, capsys):
+    """Extras that don't fit the remaining budget are skipped (recorded in
+    "skipped"), later cheaper extras still run, and per-extra wall times
+    are recorded."""
+    import json
+
+    clock = {"elapsed": 10.0}
+    monkeypatch.setattr(bench, "_elapsed", lambda: clock["elapsed"])
+    monkeypatch.setattr(bench, "_attach_with_watchdog", lambda: None)
+    monkeypatch.setattr(bench, "bench_dcgan", lambda steps: (20_000.0, 0.0064, 0.001))
+
+    def run_a():
+        clock["elapsed"] = 55.0  # a overran its estimate
+        return {"a_metric": 1.0}
+
+    monkeypatch.setattr(bench, "_extra_runners", lambda: [
+        ("a", 30, run_a),
+        ("b", 60, lambda: {"b_metric": 2.0}),   # 55+60 > 100 -> skipped
+        ("c", 10, lambda: {"c_metric": 3.0}),   # 55+10 < 100 -> runs
+        ("d", 10, lambda: (_ for _ in ()).throw(RuntimeError("boom"))),
+    ])
+    monkeypatch.setenv("LGM_TPU_BENCH_BUDGET_S", "100")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.delenv("LGM_TPU_SKIP_ATTACH_GUARD", raising=False)
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    payload = json.loads(lines[-1])
+    assert payload["skipped"] == ["b"]
+    assert payload["extras"]["a_metric"] == 1.0
+    assert payload["extras"]["c_metric"] == 3.0
+    # A failing extra records its error and does not abort the run.
+    assert "boom" in payload["extras"]["d_error"]
+    for name in ("a", "c", "d"):
+        assert f"{name}_wall_s" in payload["extras"]
+    assert payload["budget_s"] == 100.0
+
+
+def test_only_mode_rows_exist_for_every_extra():
+    """Every extras-table row is runnable standalone via --only (manual
+    runs + the VERDICT-required fm_train/edm_train/dit_moe_train rows)."""
+    names = [name for name, _est, _fn in bench._extra_runners()]
+    for required in ("ddpm_train", "ddim50", "dit_train", "fm_train",
+                     "edm_train", "dpmpp20", "dit_moe_train", "ldm64"):
+        assert required in names
+    # Priority order: the three VERDICT-required coverage rows precede the
+    # docs-only unroll2 row, and ddpm_train leads.
+    assert names[0] == "ddpm_train"
+    assert names.index("ddim50") < names.index("dpmpp20")
 
 
 def test_fori_chain_threads_pytree_state():
