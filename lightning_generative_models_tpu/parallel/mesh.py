@@ -120,9 +120,13 @@ def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
     Replaces the reference's per-process batch division
     (data/datamodule.py:33): here the *global* batch array is laid out across
     the mesh's data axis, so per-device batch = global / n_devices without any
-    manual bookkeeping. Multi-host: each process feeds only its
-    :func:`process_local_slice` of the global batch (every host's DataModule
-    yields the identical seeded global batch).
+    manual bookkeeping. Multi-host: every host's DataModule yields the
+    identical seeded global batch, and each process materialises only the
+    index slices its addressable shards need (``make_array_from_callback``).
+    This is correct for ANY mesh/process layout — including meshes where a
+    *model* or *stage* axis spans processes (dp1 x tp2 on two hosts: the data
+    axis is size 1, so every process's devices need the full batch, not a
+    process_count-th of it — the r3 process_local_slice scheme broke there).
     """
 
     multi_host = jax.process_count() > 1
@@ -133,9 +137,8 @@ def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
             return jax.device_put(x, replicated_sharding(mesh))
         sharding = batch_sharding(mesh, x.ndim, batch_axis)
         if multi_host:
-            local = process_local_slice(x, batch_axis)
-            return jax.make_array_from_process_local_data(
-                sharding, local, global_shape=x.shape
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx]
             )
         return jax.device_put(x, sharding)
 
@@ -344,6 +347,26 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
             tree,
         )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def to_host(x: Any) -> np.ndarray:
+    """Fetch a device array to host numpy, assembling across processes.
+
+    Sampler outputs are sharded over the data axis (:func:`data_shard`);
+    on a multi-host run that axis spans non-addressable devices, and
+    ``jax.device_get`` raises ``spans non-addressable devices``. Here the
+    global array is gathered with ``multihost_utils.process_allgather``
+    (tiled: concatenated along the existing sharded axis) so every host
+    returns the full global value — the trainer's validation grids and
+    FID/KID/IS updates then see exactly what a single-process run sees.
+    Single-process (even with a multi-chip mesh) stays a plain device_get.
+    """
+    if jax.process_count() > 1 and isinstance(x, jax.Array) \
+            and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
 
 
 def local_batch_size(global_batch_size: int, mesh: Optional[Mesh] = None) -> int:

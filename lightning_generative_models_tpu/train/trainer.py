@@ -679,7 +679,7 @@ class Trainer:
             return
         grids = self._val_grids(state, jax.random.fold_in(self._run_rng, 2))
         for name, images in grids.items():
-            grid = make_grid(np.asarray(jax.device_get(images)), nrow=8)
+            grid = make_grid(mesh_lib.to_host(images), nrow=8)
             self.logger.log_image(name, grid, self.global_step)
 
     def _log_tables(self, state: Any) -> None:
@@ -730,10 +730,11 @@ class Trainer:
         return self._gen_metric_objs
 
     def _update_generative_metrics(self, state, batch, rng, objs) -> None:
-        real_u8 = np.asarray(batch["image"])
-        fake01 = np.asarray(
-            jax.device_get(self._sample(state, rng, real_u8.shape[0]))
-        )
+        # real images: the data-sharded val batch; fakes: the data-sharded
+        # sampler output — both gathered across hosts on multi-process runs
+        # (to_host is a plain device_get single-process).
+        real_u8 = mesh_lib.to_host(batch["image"])
+        fake01 = mesh_lib.to_host(self._sample(state, rng, real_u8.shape[0]))
         # Reference quantization: [-1,1] -> add(1).mul(127.5).byte()
         # == truncation of [0,1]*255 (gan.py:203-227).
         fake_u8 = np.clip(fake01 * 255.0, 0, 255).astype(np.uint8)
@@ -768,7 +769,7 @@ class Trainer:
             )
         except NotImplementedError:
             return
-        grid = make_grid(np.asarray(jax.device_get(images)))
+        grid = make_grid(mesh_lib.to_host(images))
         self.logger.log_image("random_generation", grid, self.global_step)
 
 
