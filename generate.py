@@ -115,16 +115,25 @@ def main(argv=None):
     # data_shard initial-noise constraint partitions generation (sample
     # grids, --fid's 10k/50k batches) over all chips instead of replicating
     # the whole chain on each. Single-chip runs skip this entirely.
-    if jax.device_count() > 1:
-        import contextlib
+    import contextlib
 
+    mesh_ctx = contextlib.nullcontext()
+    if jax.device_count() > 1:
         from lightning_generative_models_tpu.parallel import mesh as mesh_lib
 
         mesh = mesh_lib.create_mesh()
         state = mesh_lib.replicate(state, mesh)
-        _mesh_guard = contextlib.ExitStack()  # held until main returns
-        _mesh_guard.enter_context(jax.set_mesh(mesh))
+        mesh_ctx = jax.set_mesh(mesh)
 
+    # The remainder runs under `with`, so the ambient mesh is actually
+    # exited when main returns — main(argv) is importable (tests, notebooks)
+    # and must not leak a global mesh into subsequent JAX code (ADVICE r3:
+    # an ExitStack held in a local is never closed).
+    with mesh_ctx:
+        return _generate(model, state, config, args, step, exp_dir, rng)
+
+
+def _generate(model, state, config, args, step, exp_dir, rng):
     sample_rng = jax.random.fold_in(rng, 1)
     sample_fn = _make_sample_fn(model, args)
     if args.fid:

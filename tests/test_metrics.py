@@ -154,6 +154,12 @@ def test_fid_at_n_cli(tmp_path, monkeypatch):
     assert artifact["n_fake"] == 32 and artifact["n_real"] == 32
     path = tmp_path / "VAE" / "f" / "fid_32_last_step2.json"
     assert json.loads(path.read_text())["fid"] == artifact["fid"]
+    # main(argv) is importable: the ambient mesh it entered (8 CPU devices
+    # here -> multi-chip path) must be exited on return, not leaked into
+    # subsequent JAX code in this process (ADVICE r3).
+    import jax
+
+    assert jax.sharding.get_abstract_mesh().empty
 
 
 @pytest.mark.slow

@@ -103,6 +103,56 @@ def test_one_shot_family_samplers_shard(name):
     np.testing.assert_allclose(plain, np.asarray(sharded), atol=1e-5)
 
 
+def test_pixelcnn_sampler_shards():
+    """PixelCNN's sampler is the structurally hardest case: a fori_loop
+    whose carry is the image itself, updated one pixel per iteration with
+    dynamic_update_slice — the data_shard constraint on the initial zeros
+    must survive every per-pixel update (ADVICE r3)."""
+    model = load_model({"name": "PixelCNN", "args": {
+        "img_channels": 1, "img_size": 4, "hidden_dim": 8,
+        "num_layers": 2, "num_levels": 4, "lr": 1e-3,
+    }})
+    plain, sharded = _sample_pair(model, 16)
+    assert not sharded.sharding.is_fully_replicated
+    np.testing.assert_allclose(plain, np.asarray(sharded), atol=1e-5)
+
+
+def test_vqvae_sampler_shards():
+    """VQVAE's random_sample draws integer codebook indices (randint, not
+    normal) and decodes — sharding must propagate from the index draw
+    through the embedding lookup and decoder (ADVICE r3)."""
+    model = load_model({"name": "VQVAE", "args": {
+        "img_channels": 1, "img_size": 8, "hidden_dim": 8,
+        "num_residual_layers": 1, "num_residual_hiddens": 4,
+        "num_embeddings": 16, "embedding_dim": 4, "lr": 1e-3,
+    }})
+    plain, sharded = _sample_pair(model, 16)
+    assert not sharded.sharding.is_fully_replicated
+    np.testing.assert_allclose(plain, np.asarray(sharded), atol=1e-5)
+
+
+def test_sample_classes_sharded_z_replicated_labels():
+    """Conditional sampling mixes a data-sharded z with replicated integer
+    labels — the partitioner must shard the generator batch dim without
+    gathering (ADVICE r3: the mixed-operand case)."""
+    model = load_model({"name": "CGAN", "args": {
+        "img_channels": 1, "img_size": 28, "latent_dim": 8,
+        "num_classes": 10, "lr": 1e-4,
+    }})
+    rng = jax.random.PRNGKey(0)
+    state = jax.jit(model.init_state)(rng)
+    labels = jnp.arange(16, dtype=jnp.int32) % 10
+    fn = jax.jit(model.sample_classes)
+    plain = np.asarray(fn(state, jax.random.fold_in(rng, 1), labels))
+    mesh = mesh_lib.create_mesh()
+    with jax.set_mesh(mesh):
+        rstate = mesh_lib.replicate(state, mesh)
+        sharded = jax.jit(model.sample_classes)(
+            rstate, jax.random.fold_in(rng, 1), labels)
+    assert not sharded.sharding.is_fully_replicated
+    np.testing.assert_allclose(plain, np.asarray(sharded), atol=1e-5)
+
+
 def test_uneven_batch_shards_and_matches():
     model = _tiny("DDPM")
     plain, sharded = _sample_pair(model, 12)  # 12 % 8 != 0
