@@ -14,10 +14,14 @@ recipe:
   ``lambda = ||grad_{last} L_rec|| / (||grad_{last} L_adv|| + 1e-4)``
   computed against the decoder's final conv kernel, clipped to [0, 1e4],
   scaled by ``disc_weight`` — the taming-transformers balance rule, here as
-  two extra ``jax.grad`` calls on one parameter leaf inside the same jit.
-
-(No perceptual/LPIPS term: pretrained VGG weights are not available offline;
-documented deviation.)
+  two extra ``jax.grad`` calls on one parameter leaf inside the same jit,
+- perceptual (LPIPS/VGG16) reconstruction term, weight ``perceptual_weight``
+  (default 0 = off): ``nll = L1 + perceptual_weight * LPIPS(x_hat, x)``,
+  with the adaptive-lambda numerator taken on the same nll (the taming
+  recipe). The frozen LPIPS variables ride in ``TrainState.mutable["lpips"]``
+  (the LatentDiffusion frozen-weights pattern); pretrained VGG16/lin weights
+  load via metrics/lpips.py's sha256-pinned drop-in, with a deterministic
+  random-init relative fallback when offline (loud warning).
 """
 
 from __future__ import annotations
@@ -71,14 +75,20 @@ class VQGAN(VQVAE):
         disc_start: int = 10000,
         disc_weight: float = 0.8,
         disc_lr: float = None,
+        perceptual_weight: float = 0.0,
         **vqvae_kwargs,
     ):
         super().__init__(**vqvae_kwargs)
         self.disc_start = disc_start
         self.disc_weight = disc_weight
+        self.perceptual_weight = perceptual_weight
         self.discriminator = NLayerDiscriminator()
         lr = vqvae_kwargs.get("lr", 1e-4)
         self.disc_optimizer = make_adam(disc_lr or lr, 0.5, 0.9)
+        if perceptual_weight > 0:
+            from lightning_generative_models_tpu.metrics.lpips import LPIPS
+
+            self._lpips = LPIPS()
 
     def init_state(self, rng: jax.Array) -> TrainState:
         base = super().init_state(jax.random.fold_in(rng, 0))
@@ -89,7 +99,27 @@ class VQGAN(VQVAE):
         params["disc"] = d_params
         opt_state = dict(base.opt_state)
         opt_state["disc"] = self.disc_optimizer.init(d_params)
-        return base.replace(params=params, opt_state=opt_state)
+        mutable = dict(base.mutable)
+        if self.perceptual_weight > 0:
+            # Frozen: lives in mutable (never differentiated, checkpointed
+            # with the run) — the LatentDiffusion frozen-autoencoder pattern.
+            mutable["lpips"] = jax.tree_util.tree_map(
+                jnp.asarray, self._lpips.variables
+            )
+        return base.replace(params=params, opt_state=opt_state,
+                            mutable=mutable)
+
+    def _perceptual(self, mutable, x_hat, x) -> jax.Array:
+        """Mean LPIPS distance in model space ([-1, 1], LPIPS's convention)."""
+        from lightning_generative_models_tpu.metrics.lpips import (
+            lpips_distance,
+        )
+
+        return jnp.mean(
+            lpips_distance(
+                jax.lax.stop_gradient(mutable["lpips"]), x_hat, x
+            )
+        )
 
     # -- helpers -----------------------------------------------------------
     def _last_decoder_kernel_path(self, dec_params) -> str:
@@ -126,6 +156,13 @@ class VQGAN(VQVAE):
                 g_params, state.mutable, x, True
             )
             recon_loss = jnp.mean(jnp.abs(x_hat - x))
+            if self.perceptual_weight > 0:
+                p_loss = self._perceptual(state.mutable, x_hat, x)
+            else:
+                p_loss = jnp.float32(0.0)
+            # taming's nll: reconstruction + perceptual, jointly balanced
+            # against the adversarial term by the adaptive weight below.
+            nll_loss = recon_loss + self.perceptual_weight * p_loss
             logits_fake = self.discriminator.apply(
                 {"params": state.params["disc"]}, x_hat
             )
@@ -140,7 +177,12 @@ class VQGAN(VQVAE):
                     g_params["vq"], state.mutable["vq"], latents, False
                 )
                 xh = self.decoder.apply({"params": p}, q)
-                return jnp.mean(jnp.abs(xh - x))
+                out = jnp.mean(jnp.abs(xh - x))
+                if self.perceptual_weight > 0:
+                    out = out + self.perceptual_weight * self._perceptual(
+                        state.mutable, xh, x
+                    )
+                return out
 
             def adv_of_last(kernel):
                 p = {**g_params["decoder"], last_key: {
@@ -161,7 +203,7 @@ class VQGAN(VQVAE):
             adaptive_w = jax.lax.stop_gradient(adaptive_w) * self.disc_weight
 
             loss = (
-                self.loss_weights["recon_loss"] * recon_loss
+                self.loss_weights["recon_loss"] * nll_loss
                 + self.loss_weights["vq_loss"] * vq_loss
                 + disc_on * adaptive_w * g_adv
             )
@@ -173,6 +215,8 @@ class VQGAN(VQVAE):
                 "g_adv_loss": g_adv,
                 "adaptive_weight": adaptive_w,
             }
+            if self.perceptual_weight > 0:
+                metrics["perceptual_loss"] = p_loss
             return loss, (metrics, new_mut, x_hat)
 
         g_param_tree = {k: state.params[k] for k in ("encoder", "decoder", "vq")}
@@ -200,7 +244,8 @@ class VQGAN(VQVAE):
         new_state = state.replace(
             step=state.step + 1,
             params={**new_g, "disc": new_d},
-            mutable={"vq": new_mut},
+            # Preserve non-vq mutables (the frozen LPIPS variables).
+            mutable={**state.mutable, "vq": new_mut},
             opt_state={"model": g_opt, "disc": d_opt},
         )
         g_metrics["d_loss"] = d_loss
@@ -217,13 +262,15 @@ class VQGAN(VQVAE):
         )
         recon_loss = jnp.mean(jnp.abs(x_hat - x))
         logits_fake = self.discriminator.apply({"params": state.params["disc"]}, x_hat)
-        return self.prefix_metrics(
-            {
-                "recon_loss": recon_loss,
-                "vq_loss": vq_loss,
-                "perplexity": ppl,
-                "g_adv_loss": -jnp.mean(logits_fake),
-                "loss": recon_loss + vq_loss,
-            },
-            "val",
-        )
+        metrics = {
+            "recon_loss": recon_loss,
+            "vq_loss": vq_loss,
+            "perplexity": ppl,
+            "g_adv_loss": -jnp.mean(logits_fake),
+            "loss": recon_loss + vq_loss,
+        }
+        if self.perceptual_weight > 0:
+            p_loss = self._perceptual(state.mutable, x_hat, x)
+            metrics["perceptual_loss"] = p_loss
+            metrics["loss"] = metrics["loss"] + self.perceptual_weight * p_loss
+        return self.prefix_metrics(metrics, "val")

@@ -38,6 +38,8 @@ QUICK_FILES = {
     "test_vae.py",
     "test_gan_family.py",
     "test_grad_accum.py",
+    "test_lpips.py",
+    "test_bench_utils.py",
 }
 
 
