@@ -96,7 +96,16 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(space_to_depth(x))
+        # Batch-only pin: under FSDP the 1x1 kernel is channel-sharded and
+        # the space-to-depth reshape's backward otherwise inherits a channel
+        # sharding GSPMD can only resolve by full rematerialization (see
+        # models/modules/attention.py for the same pattern). No-op without
+        # an ambient data mesh.
+        from lightning_generative_models_tpu.parallel.mesh import data_shard
+
+        return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(
+            data_shard(space_to_depth(x))
+        )
 
 
 def nearest_upsample_2x(x: jax.Array) -> jax.Array:

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from lightning_generative_models_tpu.ops.attention import scaled_dot_product_attention
 from lightning_generative_models_tpu.ops.linear_attention import linear_attention
+from lightning_generative_models_tpu.parallel.mesh import data_shard
 
 
 # Round-1 LinearAttention parameter layout (flax auto-named submodules).
@@ -171,6 +172,14 @@ class Attention(nn.Module):
         x_in = x
         x = RMSNorm(self.dim)(x.astype(self.dtype))
         qkv = nn.Conv(hd * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        # Batch-only sharding on the activation: under FSDP the qkv kernel is
+        # channel-sharded, and without this pin GSPMD propagates that channel
+        # sharding through the [b,n,3,h,d] reshape into the softmax/einsum
+        # intermediates, then bails with "involuntary full rematerialization"
+        # (r3 MULTICHIP tail). The constraint forces the ZeRO-3 contract
+        # instead: all-gather the kernel at its use site, keep attention
+        # compute batch-partitioned. No-op without an ambient data mesh.
+        qkv = data_shard(qkv)
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, d]
 
@@ -216,6 +225,9 @@ class Attention(nn.Module):
                 preferred_element_type=jnp.float32,
             ).astype(self.dtype)
 
-        out = out.reshape(b, h, w, hd)
+        # Same pin on the output side: the out-projection kernel is also
+        # FSDP-sharded, and its backward would otherwise push a channel
+        # sharding into the attention-weights transpose.
+        out = data_shard(out.reshape(b, h, w, hd))
         out = nn.Conv(self.dim, (1, 1), dtype=self.dtype)(out)
         return out + x_in.astype(out.dtype) if self.residual else out
