@@ -83,6 +83,8 @@ class DDPM(GenerativeModel):
         moe_aux_weight: float = 0.01,
         pipeline_stages: int = 0,
         pipeline_microbatches: int = 0,
+        einsum_attn: bool = False,
+        pp_fused_attn: bool = False,
     ):
         """``num_classes`` enables class-conditional training with
         classifier-free guidance (beyond reference — the reference diffusion
@@ -134,6 +136,8 @@ class DDPM(GenerativeModel):
                 moe_every=moe_every,
                 pipeline_stages=pipeline_stages,
                 pipeline_microbatches=pipeline_microbatches,
+                einsum_attn=einsum_attn,
+                pp_fused_attn=pp_fused_attn,
             )
         elif network == "unet":
             if qkv_layout != "s3hd":
@@ -155,6 +159,11 @@ class DDPM(GenerativeModel):
                 raise ValueError(
                     "pipeline_stages applies to the DiT backbone only "
                     "(see models/diffusion/pipeline.py)"
+                )
+            if einsum_attn:
+                raise ValueError(
+                    "einsum_attn applies to the DiT backbone only (the "
+                    "UNet does not use packed-qkv attention)"
                 )
             self.unet = UNet(
                 dim=dim,

@@ -125,9 +125,9 @@ class DiTBlock(nn.Module):
     num_experts: int = 0
     capacity_factor: float = 1.25
     # Force the head-minor einsum attention (the fused VMEM kernel's
-    # reference math). Set by the pipeline-parallel stage wrapper: the
-    # Pallas kernel's custom_partitioning has no batching rule under the
-    # stage-vmap (models/diffusion/pipeline.py).
+    # reference math) — A/B and debugging escape hatch. The pipeline stages
+    # no longer need it: the kernel entries carry a custom_vmap rule that
+    # folds the stage axis into the batch grid (ops/attention.py).
     einsum_attn: bool = False
 
     @nn.compact
@@ -263,6 +263,18 @@ class DiT(nn.Module):
     # Microbatches for the GPipe schedule (0 -> pipeline_stages). Bubble
     # fraction is (S-1)/(M+S-1); raise M to amortize it.
     pipeline_microbatches: int = 0
+    # Force the head-minor einsum attention everywhere (A/B + debugging;
+    # see DiTBlock.einsum_attn).
+    einsum_attn: bool = False
+    # Run the fused VMEM kernel inside pipeline stages. The stage-vmap path
+    # exists and is parity-tested (ops/attention.py:_fold_leading_vmap), but
+    # the single-chip interleaved A/B (scripts/pp_attention_ab.py, DiT-S/2
+    # pp4/m16 bs128) measured the einsum formulation FASTER under the
+    # schedule: 1923 vs 1735 img/s (fused -9.8%) — per-tick microbatches are
+    # small and the remat backward recomputes the kernel, so XLA's fused
+    # einsum wins where the dense step's kernel was +30%. Default stays the
+    # measured-faster einsum; flip for multi-chip exploration.
+    pp_fused_attn: bool = False
 
     @property
     def null_class(self) -> int:
@@ -353,6 +365,7 @@ class DiT(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 dtype=self.dtype,
                 qkv_layout=self.qkv_layout,
+                einsum_attn=self.einsum_attn or not self.pp_fused_attn,
             )
         else:
             for i in range(self.depth):
@@ -370,6 +383,7 @@ class DiT(nn.Module):
                     seq_parallel=self.seq_parallel,
                     num_experts=self.num_experts if moe_here else 0,
                     capacity_factor=self.capacity_factor,
+                    einsum_attn=self.einsum_attn,
                     name=f"block_{i}",
                 )(tok, c)
 

@@ -28,11 +28,15 @@ loss/update parity of the pp-sharded step against the single-device step.
 
 Bubble fraction is the GPipe ``(S-1)/(T)``; raise ``pipeline_microbatches``
 above ``S`` to amortize it (M=S is the default, M>=4S the usual production
-choice). Attention inside the stages uses the head-minor einsum formulation
-(ops/attention.py:_einsum_attention_qkv) — the fused VMEM Pallas kernel is
-wrapped in ``custom_partitioning``, which has no batching rule under the
-stage-``vmap``; the einsum path is the measured second-best on TPU (see
-models/diffusion/dit.py docstring) and bit-identical math.
+choice). Attention inside the stages: both formulations are available. The
+fused VMEM Pallas kernel crosses the stage-vmap via a ``custom_vmap`` rule
+folding the stage axis into its batch grid
+(ops/attention.py:_fold_leading_vmap; parity-tested fwd+bwd), but the
+single-chip interleaved A/B (scripts/pp_attention_ab.py, DiT-S/2 pp4/m16
+bs128) measured the einsum formulation FASTER under the schedule — 1923 vs
+1735 img/s (fused −9.8%; per-tick microbatches are small and remat
+recomputes the kernel in the backward) — so einsum is the default and
+``pp_fused_attn=true`` opts into the kernel (docs/PERFORMANCE.md).
 """
 
 from __future__ import annotations
@@ -73,6 +77,7 @@ class _Stage(nn.Module):
     mlp_ratio: float
     dtype: Any
     qkv_layout: str
+    einsum_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
@@ -82,7 +87,7 @@ class _Stage(nn.Module):
             x = DiTBlock(
                 self.hidden, self.heads, self.mlp_ratio,
                 dtype=self.dtype, qkv_layout=self.qkv_layout,
-                einsum_attn=True,  # see module docstring
+                einsum_attn=self.einsum_attn,
                 name=f"block_{j}",
             )(x, c)
         return x
@@ -101,6 +106,7 @@ class _PipeTick(nn.Module):
     mlp_ratio: float
     dtype: Any
     qkv_layout: str
+    einsum_attn: bool = False
 
     @nn.compact
     def __call__(
@@ -139,6 +145,7 @@ class _PipeTick(nn.Module):
             mlp_ratio=self.mlp_ratio,
             dtype=self.dtype,
             qkv_layout=self.qkv_layout,
+            einsum_attn=self.einsum_attn,
             name="stages",
         )(state_x, state_c)
         y = pp_shard(y)
@@ -157,6 +164,7 @@ def pipeline_blocks(
     mlp_ratio: float,
     dtype: Any,
     qkv_layout: str,
+    einsum_attn: bool = False,
 ) -> jax.Array:
     """Run the DiT block stack as a GPipe pipeline (see module docstring).
 
@@ -205,6 +213,7 @@ def pipeline_blocks(
         mlp_ratio=mlp_ratio,
         dtype=dtype,
         qkv_layout=qkv_layout,
+        einsum_attn=einsum_attn,
         name="pipeline",
     )(carry0, (xs_x, xs_c))
 

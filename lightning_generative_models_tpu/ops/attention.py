@@ -325,6 +325,42 @@ from lightning_generative_models_tpu.ops.common import (  # noqa: E402
 )
 
 
+def _fold_leading_vmap(fn):
+    """Give a ``[b, ...] -> [b, ...]`` kernel entry a vmap rule that FOLDS
+    the mapped axis into the batch dim.
+
+    ``custom_partitioning`` has no batching rule, so a plain ``vmap`` over
+    the VMEM attention kernels raises NotImplementedError — which is exactly
+    what the pipeline schedule's stage-``nn.vmap`` does
+    (models/diffusion/pipeline.py). The kernels are shape-generic over
+    batch (``grid=(b,)``), so the mapped axis can be folded: ``[S, b, n, c]
+    -> [S*b, n, c]``, run the identical custom-partitioned kernel, unfold.
+    The rank-3 sharding rule ("b n c -> b n o") still applies, and under
+    the pp mesh the folded dim-0 carries the merged (stage, data) axes, so
+    each chip still runs only its local stage's rows.
+
+    Composition note: this wraps the functions INSIDE the custom_vjp below
+    — a batched custom_vjp call vmaps its fwd/bwd functions, so
+    ``custom_vmap`` only ever meets vmap, never differentiation (which
+    custom_vmap does not support).
+    """
+    from jax.custom_batching import custom_vmap
+
+    wrapped = custom_vmap(fn)
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def fold(x, batched):
+            if not batched:
+                x = jnp.broadcast_to(x[None], (axis_size, *x.shape))
+            return x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
+
+        out = fn(*(fold(a, bb) for a, bb in zip(args, in_batched)))
+        return out.reshape(axis_size, -1, *out.shape[1:]), True
+
+    return wrapped
+
+
 def _spec_axis(arg_info, dim: int):
     """Mesh axes sharding dimension ``dim`` of an operand (None if not)."""
     spec = arg_info.sharding.spec if arg_info.sharding else P()
@@ -385,7 +421,7 @@ def _vmem_spmd_forward(heads: int, layout: str = "s3hd"):
         partition=partition,
         sharding_rule="b n c -> b n o",
     )
-    return fwd
+    return _fold_leading_vmap(fwd)
 
 
 @functools.lru_cache(maxsize=None)
@@ -419,7 +455,7 @@ def _vmem_spmd_backward(heads: int, layout: str = "s3hd"):
         partition=partition,
         sharding_rule="b n c, b n o -> b n c",
     )
-    return bwd
+    return _fold_leading_vmap(bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

