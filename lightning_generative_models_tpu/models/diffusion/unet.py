@@ -41,10 +41,11 @@ class Block(nn.Module):
     """conv 3x3 -> GroupNorm -> (FiLM scale/shift) -> SiLU (ddpm.py:157-173).
 
     The GN/FiLM/SiLU chain deliberately stays in XLA: a fused Pallas
-    version exists (ops/groupnorm.py) but measured SLOWER end-to-end on
-    v5e (step 22.8 -> 30.3 ms) because the opaque custom call breaks
-    XLA's fusion of the chain into the surrounding convs — see the
-    negative-result note in ops/groupnorm.py.
+    version was built and measured SLOWER end-to-end on v5e (UNet fwd
+    7.1 -> 10.8 ms, step 22.8 -> 30.3 ms) because the opaque custom call
+    breaks XLA's fusion of the chain into the surrounding convs — the
+    kernel was removed in r4; the full record lives in
+    docs/PERFORMANCE.md "Closed levers".
     """
 
     dim_out: int

@@ -1,5 +1,5 @@
 """Shared helpers for the Pallas kernel modules (attention, linear
-attention, groupnorm, vq): backend dispatch and custom_partitioning
+attention, vq): backend dispatch and custom_partitioning
 plumbing. Each kernel module keeps its own ``_INTERPRET`` flag so tests
 can flip interpret mode per kernel independently.
 """
