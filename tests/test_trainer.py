@@ -268,6 +268,40 @@ def test_test_with_live_state_without_fit(tmp_path):
     assert "test_loss" in metrics and np.isfinite(metrics["test_loss"])
 
 
+def test_experiment_dir_collision_warns(tmp_path, monkeypatch, caplog):
+    """Two DIFFERENT configs can share a model name (the DiT backbone runs
+    under model name "DDPM"), so reusing an experiment name silently
+    overwrites the previous run. setup_arguments must warn loudly."""
+    import logging
+
+    import train as train_cli
+
+    monkeypatch.setattr(
+        train_cli, "EXPERIMENT_DIR", str(tmp_path), raising=False
+    )
+    train_cli.setup_arguments(
+        ["--config_path", "configs/diffusion/ddpm_cifar10.json",
+         "--experiment_name", "clash"],
+        print_args=False,
+    )
+    with caplog.at_level(logging.WARNING, logger="train"):
+        train_cli.setup_arguments(
+            ["--config_path", "configs/diffusion/dit_cifar10.json",
+             "--experiment_name", "clash"],
+            print_args=False,
+        )
+    assert any("DIFFERENT config" in r.message for r in caplog.records)
+    # Same config again: no warning.
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="train"):
+        train_cli.setup_arguments(
+            ["--config_path", "configs/diffusion/ddpm_cifar10.json",
+             "--experiment_name", "solo"],
+            print_args=False,
+        )
+    assert not any("DIFFERENT config" in r.message for r in caplog.records)
+
+
 def test_eval_cli(tmp_path, monkeypatch):
     """python train.py --eval test end-to-end."""
     import train as train_cli

@@ -29,6 +29,7 @@ from lightning_generative_models_tpu.utils.path import EXPERIMENT_DIR
 
 logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
 logging.getLogger("absl").setLevel(logging.WARNING)  # orbax is very chatty
+logger = logging.getLogger("train")
 
 EXPERIMENT_TIME = datetime.now().strftime("%Y-%m-%d_%H:%M")
 
@@ -156,6 +157,26 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
         EXPERIMENT_DIR, args.config["model"]["name"], args.experiment_name
     )
     os.makedirs(args.experiment_dir, exist_ok=True)
+
+    # The directory layout is experiments/<model name>/<experiment_name> —
+    # two DIFFERENT configs can share a model name (e.g. the DiT backbone
+    # runs under model name "DDPM"), and reusing an experiment name then
+    # silently overwrites the previous run's checkpoints and artifacts.
+    # Warn loudly when the dir already holds a different config.
+    existing = [
+        p for p in Path(args.experiment_dir).glob("*.json")
+        if p.name not in ("args.json", "config.json")
+        and p.name != Path(args.config_path).name
+    ]
+    if existing and not args.resume:
+        logger.warning(
+            "Experiment dir %s already contains a run of a DIFFERENT config "
+            "(%s); training %s here will overwrite its checkpoints and "
+            "artifacts. Pick a distinct --experiment_name to keep both.",
+            args.experiment_dir,
+            ", ".join(p.name for p in existing),
+            Path(args.config_path).name,
+        )
 
     if print_args:
         pprint(vars(args))
