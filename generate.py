@@ -249,8 +249,19 @@ def _compute_fid(model, state, config, args, step, exp_dir, rng, sample_fn):
     # seeded train/val split partitions the train pool, so their union
     # restores it exactly. FID statistics are order-invariant.
     reals = np.concatenate([dm.train_images, dm.val_images])
+    if getattr(dm, "is_synthetic", False) and len(reals) < (args.fid_real or n):
+        # The synthetic fallback pool defaults to 4096+1024 images — smaller
+        # than the BASELINE.md protocol's real-set size (= fake-set size).
+        # The r3 artifacts silently recorded n_real=4096 against a 10k
+        # protocol (VERDICT r3 weak #4); regenerate the deterministic seeded
+        # pool at the required size instead.
+        dm = DataModule(**config["dataset"], synthetic_size=args.fid_real or n)
+        dm.setup()
+        reals = np.concatenate([dm.train_images, dm.val_images])
     if args.fid_real:
         reals = reals[: args.fid_real]
+    elif getattr(dm, "is_synthetic", False):
+        reals = reals[:n]  # synthetic protocol: real-set size == fake-set size
 
     extractor = InceptionFeatureExtractor()
     fid = FrechetInceptionDistance(extractor)
