@@ -53,6 +53,39 @@ def test_roundtrip_matches_live_sample(rng, tmp_path):
     assert (tmp_path / "ddpm.jaxexport.json").exists()
 
 
+@pytest.mark.parametrize("spec", [
+    ("FlowMatching", {"img_channels": 1, "img_size": 8, "dim": 8,
+                      "sampling_steps": 3, "use_bf16": False}),
+    ("EDM", {"img_channels": 1, "img_size": 8, "dim": 8,
+             "sampling_steps": 3, "use_bf16": False}),
+    ("DDPM", {"img_channels": 1, "img_size": 8, "network": "dit", "dim": 16,
+              "depth": 2, "num_heads": 2, "patch_size": 4,
+              "diffusion_timesteps": 8, "sampling_timesteps": 4,
+              "use_bf16": False}),
+], ids=["fm", "edm", "dit"])
+def test_new_family_export_roundtrip(rng, tmp_path, spec):
+    """FlowMatching / EDM / DiT-backbone samplers export through the same
+    serving surface (they share DDPM's sampler contract): the frozen
+    artifact must reproduce the live sample. EDM starts from sigma_max=80
+    noise, which amplifies fusion-order f32 drift between the live and the
+    deserialized-StableHLO compilations (observed max |diff| ~4e-5 on
+    [0,1] outputs — same effect as in tests/test_sharded_sampling.py)."""
+    name, args = spec
+    model = load_model({"name": name, "args": args})
+    state = jax.jit(model.init_state)(rng)
+    exported = export_sampler(model, state, batch_size=2)
+    save_artifact(exported, tmp_path / "m.jaxexport",
+                  meta={"model": name, "step": 0})
+    artifact = load_artifact(tmp_path / "m.jaxexport")
+    key = jax.random.PRNGKey(7)
+    frozen = np.asarray(jax.device_get(artifact(key)))
+    live = np.asarray(jax.device_get(
+        jax.jit(model.sample, static_argnums=2)(state, key, 2)
+    ))
+    atol = 2e-3 if name == "EDM" else 1e-6
+    np.testing.assert_allclose(frozen, live, rtol=1e-4, atol=atol)
+
+
 def test_latent_diffusion_export_bakes_frozen_ae(rng, tmp_path):
     """LatentDiffusion's sampler decodes through state.mutable's frozen
     autoencoder; export must bake that tree in as constants so the artifact
