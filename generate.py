@@ -145,15 +145,29 @@ def _generate(model, state, config, args, step, exp_dir, rng):
             raise SystemExit(f"{type(model).__name__} does not support interpolate")
         import jax.numpy as jnp
 
-        ends = jax.jit(model.sample, static_argnums=2)(state, sample_rng, 2)
+        from lightning_generative_models_tpu.parallel import mesh as mesh_lib
+
+        # The sampler output is data-sharded (2 rows over the mesh, GSPMD-
+        # padded); the eager broadcast/lerp math below cannot consume that
+        # sharding under the ambient mesh — fetch the two endpoints to host
+        # first (they are tiny).
+        ends = mesh_lib.to_host(
+            jax.jit(model.sample, static_argnums=2)(state, sample_rng, 2)
+        )
         x1 = jnp.broadcast_to(ends[0], (args.interpolate, *ends[0].shape))
         x2 = jnp.broadcast_to(ends[1], (args.interpolate, *ends[1].shape))
         lams = jnp.linspace(0.0, 1.0, args.interpolate)[:, None, None, None]
-        images = model.interpolate(
-            state, x1, x2, jax.random.fold_in(rng, 2),
-            t=args.interpolate_t, lam=lams,
-        )
-        images = np.asarray(jax.device_get(images))
+        # One jit around the whole chain: interpolate's internal lax.scan
+        # already compiles, and its output under the ambient mesh carries a
+        # padded GSPMD sharding (batch < devices) that EAGER follow-up ops
+        # cannot consume (named-sharding conversion rejects the padding) —
+        # keeping every op inside one program sidesteps the eager boundary.
+        t_interp = args.interpolate_t
+        images = jax.jit(
+            lambda s, a, b, r, l: model.interpolate(s, a, b, r,
+                                                    t=t_interp, lam=l)
+        )(state, x1, x2, jax.random.fold_in(rng, 2), lams)
+        images = mesh_lib.to_host(images)
         out_dir = Path(args.out) if args.out else exp_dir / "generated"
         out_dir.mkdir(parents=True, exist_ok=True)
         path = out_dir / f"interpolation_{args.which}_step{step}.png"

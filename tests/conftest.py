@@ -19,6 +19,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# Persistent compilation cache OFF for the whole test session. CLI-main
+# tests (train/generate/export) set jax_compilation_cache_dir globally —
+# an intentional process-lifetime setting in production — and the cache
+# WRITE of a later test's compiled program then segfaults inside
+# jax._src.compilation_cache.put_executable_and_time on this CPU backend
+# (reproduced twice at test_serving.py::test_export_cli_e2e, killing the
+# suite at ~80%). Tests gain nothing from the persistent cache (fresh
+# process per run); the kill switch below is honored regardless of any
+# cache_dir a CLI sets later.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import pytest  # noqa: E402
 
