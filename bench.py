@@ -650,18 +650,26 @@ def main():
     }
     skipped = []
     final_emitted = threading.Event()
+    _emit_lock = threading.Lock()
 
     def emit_final():
-        if final_emitted.is_set():
-            return
-        final_emitted.set()
-        print(json.dumps({
-            **headline,
-            "extras": extras,
-            "skipped": skipped,
-            "budget_s": budget_s,
-            "wall_s": round(_elapsed(), 1),
-        }), flush=True)
+        # Test-and-set under a lock: the main thread and the deadline
+        # watchdog can race here, and Event.is_set→set is not atomic —
+        # without the lock the enriched line could print twice or
+        # interleave, leaving the driver an unparseable stdout tail.
+        with _emit_lock:
+            if final_emitted.is_set():
+                return
+            final_emitted.set()
+            line = json.dumps({
+                **headline,
+                "extras": extras,
+                "skipped": skipped,
+                "budget_s": budget_s,
+                "wall_s": round(_elapsed(), 1),
+            })
+            sys.stdout.write(line + "\n")
+            sys.stdout.flush()
 
     if not args.quick:
         # Self-bounding guarantee: if an in-process extra blocks in a C

@@ -269,7 +269,10 @@ def _compute_fid(model, state, config, args, step, exp_dir, rng, sample_fn):
         # The r3 artifacts silently recorded n_real=4096 against a 10k
         # protocol (VERDICT r3 weak #4); regenerate the deterministic seeded
         # pool at the required size instead.
-        dm = DataModule(**config["dataset"], synthetic_size=args.fid_real or n)
+        # Override (not duplicate) any synthetic_size the config itself sets.
+        dm = DataModule(
+            **{**config["dataset"], "synthetic_size": args.fid_real or n}
+        )
         dm.setup()
         reals = np.concatenate([dm.train_images, dm.val_images])
     if args.fid_real:

@@ -182,6 +182,12 @@ def find_pretrained_weights():
     import os
 
     expected = os.environ.get("LGM_TPU_INCEPTION_SHA256", "").lower()
+    if expected and len(expected) < 8:
+        raise ValueError(
+            "LGM_TPU_INCEPTION_SHA256 must be at least 8 hex chars "
+            f"(torch.hub pins use >=8); got {len(expected)} — a too-short "
+            "prefix matches almost anything and defeats the pin."
+        )
     for p in weight_search_paths():
         if p.exists():
             if expected:
@@ -302,7 +308,13 @@ def load_torch_weights(path: str, template: Optional[Any] = None) -> Any:
     """
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    # Plain state_dicts load under the safe weights_only path; only fall
+    # back to full unpickling for files storing a whole nn.Module
+    # (arbitrary-code risk — keep it last resort, ideally sha256-pinned).
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     # Drop aux-classifier weights if present (pytorch-fid keeps them).

@@ -116,6 +116,12 @@ def find_pretrained_weights():
     import os
 
     expected = os.environ.get("LGM_TPU_LPIPS_SHA256", "").lower()
+    if expected and len(expected) < 8:
+        raise ValueError(
+            "LGM_TPU_LPIPS_SHA256 must be at least 8 hex chars (torch.hub "
+            f"pins use >=8); got {len(expected)} — a too-short prefix "
+            "matches almost anything and defeats the pin."
+        )
     for p in weight_search_paths():
         if p.exists():
             if expected:
@@ -176,7 +182,19 @@ def load_torch_lpips(path: str) -> Any:
     """
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    # Plain state_dicts (both accepted formats) load under the safe
+    # weights_only path; only fall back to full unpickling for files that
+    # store a whole nn.Module (arbitrary-code risk — keep it last resort).
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        logger.warning(
+            "%s is not a plain state_dict; falling back to "
+            "weights_only=False torch.load (executes pickle code — only "
+            "use weight files you trust, ideally sha256-pinned via "
+            "LGM_TPU_LPIPS_SHA256).", path,
+        )
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")

@@ -165,6 +165,11 @@ class DDPM(GenerativeModel):
                     "einsum_attn applies to the DiT backbone only (the "
                     "UNet does not use packed-qkv attention)"
                 )
+            if pp_fused_attn:
+                raise ValueError(
+                    "pp_fused_attn applies to the pipeline-parallel DiT "
+                    "backbone only (the UNet has no pipeline stages)"
+                )
             self.unet = UNet(
                 dim=dim,
                 dim_mults=tuple(dim_mults),

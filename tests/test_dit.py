@@ -235,6 +235,13 @@ def test_self_condition_rejected():
         DDPM(network="dit", self_condition=True)
 
 
+def test_dit_only_attention_knobs_rejected_on_unet():
+    with pytest.raises(ValueError, match="einsum_attn"):
+        DDPM(network="unet", einsum_attn=True)
+    with pytest.raises(ValueError, match="pp_fused_attn"):
+        DDPM(network="unet", pp_fused_attn=True)
+
+
 def test_patch_divisibility_guard(rng):
     dit = DiT(hidden=16, depth=1, heads=4, patch_size=3, channels=1)
     with pytest.raises(ValueError, match="not divisible by patch"):

@@ -129,6 +129,10 @@ def test_sha256_pinning(tmp_path, monkeypatch):
     digest = hashlib.sha256(fake.read_bytes()).hexdigest()
     monkeypatch.setenv("LGM_TPU_LPIPS_SHA256", digest[:12])  # prefix ok
     assert lpips_mod.find_pretrained_weights() == fake
+    # A too-short pin prefix matches almost anything — rejected outright.
+    monkeypatch.setenv("LGM_TPU_LPIPS_SHA256", digest[:4])
+    with pytest.raises(ValueError, match="at least 8"):
+        lpips_mod.find_pretrained_weights()
 
 
 def _tiny_vqgan(**kw):

@@ -124,6 +124,10 @@ def test_pretrained_weights_sha256_pin(tmp_path, monkeypatch):
     digest = hashlib.sha256(fake.read_bytes()).hexdigest()
     monkeypatch.setenv("LGM_TPU_INCEPTION_SHA256", digest[:12])  # prefix ok
     assert find_pretrained_weights() == fake
+    # A too-short pin prefix matches almost anything — rejected outright.
+    monkeypatch.setenv("LGM_TPU_INCEPTION_SHA256", digest[:4])
+    with pytest.raises(ValueError, match="at least 8"):
+        find_pretrained_weights()
 
 
 @pytest.mark.slow

@@ -300,6 +300,19 @@ def test_experiment_dir_collision_warns(tmp_path, monkeypatch, caplog):
             print_args=False,
         )
     assert not any("DIFFERENT config" in r.message for r in caplog.records)
+    # FID/metric artifacts from generate.py --fid in the SAME dir are run
+    # outputs, not configs — they must not trigger the warning.
+    caplog.clear()
+    (tmp_path / "DDPM" / "solo" / "fid_10000_last_step2000.json").write_text(
+        "{}"
+    )
+    with caplog.at_level(logging.WARNING, logger="train"):
+        train_cli.setup_arguments(
+            ["--config_path", "configs/diffusion/ddpm_cifar10.json",
+             "--experiment_name", "solo"],
+            print_args=False,
+        )
+    assert not any("DIFFERENT config" in r.message for r in caplog.records)
 
 
 def test_eval_cli(tmp_path, monkeypatch):

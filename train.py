@@ -167,6 +167,11 @@ def setup_arguments(argv=None, print_args: bool = True, save_args: bool = True):
         p for p in Path(args.experiment_dir).glob("*.json")
         if p.name not in ("args.json", "config.json")
         and p.name != Path(args.config_path).name
+        # generate.py --fid / --kid drop metric artifacts (fid_*.json) into
+        # the experiment dir; they are run outputs, not configs.
+        and not p.name.startswith("fid_")
+        and not p.name.startswith("kid_")
+        and not p.name.startswith("metrics_")
     ]
     if existing and not args.resume:
         logger.warning(
