@@ -525,6 +525,39 @@ def bench_edm_train(steps: int = 30, batch: int = 128):
     return _gated_train_rate(model, _cifar_batch(batch), steps)
 
 
+def bench_ct_train(steps: int = 30, batch: int = 128):
+    """Consistency training (iCT, UNet-64 backbone) CIFAR-10-shape training
+    throughput — the configs/diffusion/ct_cifar10.json scale, same gated-EMA
+    protocol as the DDPM/FM/EDM rows. The consistency loss runs the backbone
+    on a DOUBLED batch (online + stop-grad target in one 2B MXU pass), so
+    ~2x the DDPM row's step cost is the expected baseline."""
+    from lightning_generative_models_tpu.models.diffusion.consistency import (
+        ConsistencyModel,
+    )
+
+    model = ConsistencyModel(img_channels=3, img_size=32, dim=64)
+    return _gated_train_rate(model, _cifar_batch(batch), steps)
+
+
+def bench_ct_sample(batch: int = 64, steps: int = 2, dim: int = 64,
+                    img: int = 32):
+    """Consistency-model sampling throughput (2-step multistep by default) —
+    the low-latency serving row: 2 network evals/sample vs DDIM's 50."""
+    import jax
+
+    from lightning_generative_models_tpu.models.diffusion.consistency import (
+        ConsistencyModel,
+    )
+
+    model = ConsistencyModel(
+        img_channels=3, img_size=img, dim=dim, sampling_steps=steps
+    )
+    rng = jax.random.PRNGKey(0)
+    state = jax.jit(model.init_state)(rng)
+    sample = jax.jit(lambda r: model.sample(state, r, batch))
+    return _bench_sampler(sample, rng, batch)
+
+
 def bench_dit_moe_train(steps: int = 30, batch: int = 128):
     """DiT-MoE (Switch top-1, 8 experts every 2nd block) conditional
     CIFAR-10-shape training throughput — the
@@ -565,6 +598,12 @@ def _extra_runners():
             "edm_train_images_per_sec": bench_edm_train()}),
         ("dpmpp20", 90, lambda: {
             "dpmpp20_samples_per_sec": bench_dpmpp20()}),
+        ("ct_sample", 80, lambda: (lambda v64, v128: {
+            "ct2_samples_per_sec": v64,
+            "ct2_bs128_samples_per_sec": v128,
+        })(bench_ct_sample(), bench_ct_sample(batch=128))),
+        ("ct_train", 100, lambda: {
+            "ct_train_images_per_sec": bench_ct_train()}),
         ("dit_moe_train", 150, lambda: {
             "dit_moe_train_images_per_sec": bench_dit_moe_train()}),
         ("ldm64", 180, lambda: (lambda pair: {

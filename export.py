@@ -45,8 +45,12 @@ def main(argv=None):
                         help="static serving batch size baked into the artifact")
     parser.add_argument(
         "--sampler", type=str, default="auto",
-        choices=["auto", "ddpm", "ddim", "dpmpp"],
-        help="diffusion sampler baked into the artifact (see generate.py)",
+        choices=["auto", "ddpm", "ddim", "dpmpp", "heun", "euler",
+                 "midpoint", "onestep", "multistep"],
+        help="sampler baked into the artifact: ddpm/ddim/dpmpp for the "
+        "diffusion family, heun/euler for EDM, euler/midpoint/heun for "
+        "flow matching, onestep/multistep for consistency models (each "
+        "family validates its own names; see generate.py)",
     )
     parser.add_argument(
         "--sampling_steps", type=int, default=0,

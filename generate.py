@@ -76,14 +76,15 @@ def main(argv=None):
     )
     parser.add_argument(
         "--sampler", type=str, default="auto",
-        choices=["auto", "ddpm", "ddim", "dpmpp", "euler", "midpoint", "heun"],
+        choices=["auto", "ddpm", "ddim", "dpmpp", "euler", "midpoint", "heun",
+                 "onestep", "multistep"],
         help="sampler: auto keeps each model's convention (diffusion: DDIM "
         "iff sampling_timesteps < T; flow matching: the configured solver). "
         "dpmpp = DPM-Solver++(2M), a 2nd-order ODE solver reaching "
         "DDIM-50-comparable quality at ~15-25 steps (beyond reference); "
         "euler/midpoint/heun are the FlowMatching ODE solvers and euler/heun "
-        "the EDM ones — each model family rejects the other family's "
-        "samplers with a clear error",
+        "the EDM ones; onestep/multistep the consistency-model ones — each "
+        "model family rejects the other family's samplers with a clear error",
     )
     parser.add_argument(
         "--sampling_steps", type=int, default=0,

@@ -57,6 +57,13 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
         "lightning_generative_models_tpu.models.diffusion.edm",
         "LatentEDM",
     ),
+    # Beyond reference: consistency model trained with improved consistency
+    # training (arXiv:2303.01469 + arXiv:2310.14189) — 1-2 network evals
+    # per sample, the low-latency serving recipe.
+    "ConsistencyModel": (
+        "lightning_generative_models_tpu.models.diffusion.consistency",
+        "ConsistencyModel",
+    ),
     # Autoencoder family (reference: models/generative/autoencoder/)
     "DAE": ("lightning_generative_models_tpu.models.autoencoder.dae", "DAE"),
     "UNet": ("lightning_generative_models_tpu.models.autoencoder.unet", "UNetAE"),

@@ -226,7 +226,8 @@ def test_only_mode_rows_exist_for_every_extra():
     runs + the VERDICT-required fm_train/edm_train/dit_moe_train rows)."""
     names = [name for name, _est, _fn in bench._extra_runners()]
     for required in ("ddpm_train", "ddim50", "dit_train", "fm_train",
-                     "edm_train", "dpmpp20", "dit_moe_train", "ldm64"):
+                     "edm_train", "dpmpp20", "ct_sample", "ct_train",
+                     "dit_moe_train", "ldm64"):
         assert required in names
     # Priority order: the three VERDICT-required coverage rows precede the
     # docs-only unroll2 row, and ddpm_train leads.

@@ -36,6 +36,9 @@ MODEL_OVERRIDES = {
                   "ema_update_after_step": 2, "ema_update_every": 1},
     "LatentFlowMatching": {"dim": 8, "sampling_steps": 4, "use_bf16": False,
                            "ema_update_after_step": 2, "ema_update_every": 1},
+    "ConsistencyModel": {"dim": 8, "s0": 4, "s1": 16, "curriculum_steps": 8,
+                         "use_bf16": False, "ema_update_after_step": 2,
+                         "ema_update_every": 1},
     "VQVAE": {"hidden_dim": 32, "num_residual_hiddens": 8, "embedding_dim": 8,
               "num_embeddings": 16},
     "VQGAN": {"hidden_dim": 32, "num_residual_hiddens": 8, "embedding_dim": 8,
