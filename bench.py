@@ -558,6 +558,39 @@ def bench_ct_sample(batch: int = 64, steps: int = 2, dim: int = 64,
     return _bench_sampler(sample, rng, batch)
 
 
+def _plain_train_rate(model, batch_np, steps: int = 30):
+    """Training rate (img/s) for a model with a plain (no-EMA) train_step:
+    one ``lax.fori_loop`` dispatch per timing segment, two-segment
+    ``_min_slope`` differencing — the bench_dcgan chain protocol without
+    the dispatch-overhead comparison leg."""
+    import jax
+
+    rng = jax.random.PRNGKey(0)
+    state = jax.jit(model.init_state)(rng)
+    batch_dev = jax.tree_util.tree_map(jax.device_put, batch_np)
+    chain_fn = _fori_chain(lambda s: model.train_step(s, batch_dev, rng)[0])
+    holder = {"state": state}
+
+    def chain(n):
+        holder["state"] = chain_fn(holder["state"], n)
+        int(holder["state"].step)  # D2H readback barrier
+
+    chain(3)  # compile + warmup
+    per_step = max(_min_slope(chain, max(steps // 5, 1), steps, reps=2), 1e-9)
+    return batch_np["image"].shape[0] / per_step
+
+
+def bench_glow_train(steps: int = 30, batch: int = 128):
+    """Glow (3 levels x 8 steps, width 256) CIFAR-10-shape training
+    throughput — the configs/flow/glow_cifar10.json scale. Exact-likelihood
+    flow training: 24 coupling convs + 24 invertible 1x1 matmuls +
+    their slogdets per step."""
+    from lightning_generative_models_tpu.models.flow.glow import Glow
+
+    model = Glow(img_channels=3, img_size=32, levels=3, depth=8, width=256)
+    return _plain_train_rate(model, _cifar_batch(batch), steps)
+
+
 def bench_dit_moe_train(steps: int = 30, batch: int = 128):
     """DiT-MoE (Switch top-1, 8 experts every 2nd block) conditional
     CIFAR-10-shape training throughput — the
@@ -606,6 +639,8 @@ def _extra_runners():
             "ct_train_images_per_sec": bench_ct_train()}),
         ("dit_moe_train", 150, lambda: {
             "dit_moe_train_images_per_sec": bench_dit_moe_train()}),
+        ("glow_train", 110, lambda: {
+            "glow_train_images_per_sec": bench_glow_train()}),
         ("ldm64", 180, lambda: (lambda pair: {
             "ldm64_train_images_per_sec": pair[0],
             "ddpm_pixel64_train_images_per_sec": round(pair[1], 2),

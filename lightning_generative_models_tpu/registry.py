@@ -74,6 +74,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     ),
     # Flow family (reference: models/generative/flow/nice.py)
     "NICE": ("lightning_generative_models_tpu.models.flow.nice", "NICE"),
+    # Beyond reference: Glow (arXiv:1807.03039) — multi-scale convolutional
+    # flow with invertible 1x1 convs, exact likelihood and exact inverse.
+    "Glow": ("lightning_generative_models_tpu.models.flow.glow", "Glow"),
 }
 
 # Case-insensitive lookup, mirroring the reference's name.lower() resolution.

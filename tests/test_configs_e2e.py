@@ -55,6 +55,7 @@ MODEL_OVERRIDES = {
     "ACGAN": {"latent_dim": 16},
     "BEGAN": {"latent_dim": 16, "hidden_dim": 16},
     "NICE": {"hidden_dim": 64, "num_hidden_layers": 2},
+    "Glow": {"levels": 2, "depth": 2, "width": 16},
     "PixelCNN": {"hidden_dim": 16, "num_layers": 2},
 }
 SHRINK_IMG = {"DDPM", "InfoGAN", "LSGAN", "R1GAN", "DCGAN", "BEGAN"}

@@ -87,7 +87,7 @@ def test_sharded_matches_unsharded_and_is_partitioned(name, kw, atol):
     np.testing.assert_allclose(plain, np.asarray(sharded), atol=atol)
 
 
-@pytest.mark.parametrize("name", ["GAN", "VAE", "NICE"])
+@pytest.mark.parametrize("name", ["GAN", "VAE", "NICE", "Glow"])
 def test_one_shot_family_samplers_shard(name):
     """GAN/VAE/flow samplers (one forward from latent noise) shard too —
     their FID@10k generation is the same replicated-noise problem."""
@@ -97,6 +97,9 @@ def test_one_shot_family_samplers_shard(name):
     elif name == "NICE":
         args = {"img_channels": 1, "img_size": 8, "hidden_dim": 32,
                 "num_coupling_layers": 4, "num_hidden_layers": 2, "lr": 1e-3}
+    elif name == "Glow":
+        args = {"img_channels": 1, "img_size": 8, "levels": 2, "depth": 2,
+                "width": 8, "lr": 1e-3}
     model = load_model({"name": name, "args": args})
     plain, sharded = _sample_pair(model, 16)
     assert not sharded.sharding.is_fully_replicated
